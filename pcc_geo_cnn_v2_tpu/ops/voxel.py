@@ -1,0 +1,64 @@
+"""Voxelization: point lists ↔ dense occupancy grids, batched on device.
+
+Replaces the reference's per-block host voxelizers (``tf.sparse`` pipeline at
+``/root/reference/src/model_types.py:23-39`` and the numpy ``sparse_to_dense``
+at ``model_types.py:108-114``) with a single batched XLA scatter: all blocks
+of a point cloud are padded to a common point budget and voxelized in one
+jitted op, NDHWC layout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pack_points", "voxelize", "devoxelize_host"]
+
+
+def pack_points(blocks, max_points=None, dtype=np.int32):
+    """Pad a list of variable-length [n_i, 3+] blocks to a dense batch.
+
+    Host-side prep for :func:`voxelize`. Padding rows get coordinate -1,
+    which the device scatter drops.
+
+    :return: (points [N, P, 3] int32, counts [N] int32)
+    """
+    n = len(blocks)
+    counts = np.array([len(b) for b in blocks], dtype=np.int32)
+    p = int(max_points) if max_points is not None else int(counts.max(initial=1))
+    assert counts.max(initial=0) <= p, f"block with {counts.max()} > budget {p}"
+    points = np.full((n, p, 3), -1, dtype=dtype)
+    for i, b in enumerate(blocks):
+        points[i, : len(b)] = np.asarray(b)[:, :3].astype(dtype)
+    return points, counts
+
+
+def voxelize(points: jax.Array, size: int) -> jax.Array:
+    """Scatter integer points into dense binary occupancy grids.
+
+    :param points: [N, P, 3] int32; out-of-range rows (e.g. -1 padding)
+        are dropped by XLA scatter semantics.
+    :param size: grid edge length (e.g. 64).
+    :return: [N, size, size, size, 1] float32 occupancy in {0, 1}.
+    """
+    n, p, _ = points.shape
+    # Negative indices would wrap; remap them past the edge so 'drop' applies.
+    points = jnp.where(points < 0, size, points)
+    batch_idx = jnp.broadcast_to(jnp.arange(n, dtype=points.dtype)[:, None], (n, p))
+    grid = jnp.zeros((n, size, size, size), jnp.float32)
+    grid = grid.at[
+        batch_idx, points[..., 0], points[..., 1], points[..., 2]
+    ].max(1.0, mode="drop")
+    return grid[..., None]
+
+
+def devoxelize_host(grid: np.ndarray, threshold: float) -> np.ndarray:
+    """Occupancy probabilities → point list (host, one block).
+
+    :param grid: [size, size, size] float array.
+    :return: [M, 3] float32 coordinates where ``grid > threshold``
+        (matches the reference's ``np.argwhere(x_hat > t)`` at
+        ``model_types.py:209`` / ``model_opt.py:12``).
+    """
+    return np.argwhere(grid > threshold).astype(np.float32)
