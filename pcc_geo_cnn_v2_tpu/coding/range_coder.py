@@ -1,0 +1,207 @@
+"""Python interface to the native rANS range coder, with a numpy twin.
+
+The C++ library (``native/range_coder.cpp``) is compiled on demand with g++
+and loaded via ctypes (foreign calls release the GIL, so a thread pool gives
+true parallelism across blocks). The pure-Python implementation below is the
+executable specification: tests assert the two produce identical bitstreams.
+
+API contract (shared with the reference's tfc range coder usage, see
+``/root/reference/src/utils/patch_gaussian_conditional.py:27-31``): each
+element carries an index selecting a CDF row; symbols outside a row's
+regular buckets are escape-coded with ``overflow_width``-bit units.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from pcc_geo_cnn_v2_tpu.models.entropy import CdfTable
+
+__all__ = ["encode", "decode", "encode_py", "decode_py", "native_available"]
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "librange_coder.so"
+_OVERFLOW_WIDTH = 4
+_RANS_L = 1 << 31
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build_native():
+    src = _NATIVE_DIR / "range_coder.cpp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(_SO_PATH), str(src)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not _SO_PATH.exists() or (
+                _SO_PATH.stat().st_mtime
+                < (_NATIVE_DIR / "range_coder.cpp").stat().st_mtime
+            ):
+                _build_native()
+            lib = ctypes.CDLL(str(_SO_PATH))
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.pcc_rc_encode.restype = ctypes.c_int64
+        lib.pcc_rc_encode.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.pcc_rc_decode.restype = ctypes.c_int64
+        lib.pcc_rc_decode.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int32, ctypes.c_int32, i32p,
+        ]
+        _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def _as_c(table: CdfTable):
+    cdf = np.ascontiguousarray(table.cdf, np.int32)
+    return cdf, np.ascontiguousarray(table.cdf_length, np.int32), \
+        np.ascontiguousarray(table.offset, np.int32)
+
+
+def encode(symbols, indexes, table: CdfTable,
+           overflow_width=_OVERFLOW_WIDTH) -> bytes:
+    """Range-encode int32 ``symbols`` (any shape) against CDF rows."""
+    symbols = np.ascontiguousarray(np.asarray(symbols, np.int32).ravel())
+    indexes = np.ascontiguousarray(np.asarray(indexes, np.int32).ravel())
+    assert symbols.shape == indexes.shape
+    lib = _get_lib()
+    if lib is None:
+        return encode_py(symbols, indexes, table, overflow_width)
+    cdf, cdf_len, offset = _as_c(table)
+    capacity = 16 + symbols.size * 16  # worst case: deep escapes
+    out = np.empty(capacity, np.uint8)
+    n = lib.pcc_rc_encode(symbols, indexes, symbols.size, cdf, cdf.shape[1],
+                          cdf_len, offset, table.precision, overflow_width,
+                          out, capacity)
+    if n < 0:
+        raise RuntimeError("range encoder overflow")
+    return out[:n].tobytes()
+
+
+def decode(data: bytes, indexes, table: CdfTable,
+           overflow_width=_OVERFLOW_WIDTH) -> np.ndarray:
+    """Inverse of :func:`encode`; returns int32 symbols shaped like indexes."""
+    indexes = np.asarray(indexes, np.int32)
+    flat = np.ascontiguousarray(indexes.ravel())
+    lib = _get_lib()
+    if lib is None:
+        return decode_py(data, indexes, table, overflow_width)
+    cdf, cdf_len, offset = _as_c(table)
+    out = np.empty(flat.size, np.int32)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.pcc_rc_decode(buf, len(data), flat, flat.size, cdf, cdf.shape[1],
+                           cdf_len, offset, table.precision, overflow_width,
+                           out)
+    if rc != 0:
+        raise ValueError("malformed range-coded stream")
+    return out.reshape(indexes.shape)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python twin (specification + fallback)
+# ---------------------------------------------------------------------------
+
+
+def _events(symbols, indexes, table: CdfTable, w):
+    cont = 1 << w
+    for s, r in zip(symbols.tolist(), indexes.tolist()):
+        row = table.cdf[r]
+        num_regular = int(table.cdf_length[r]) - 2
+        b = s - int(table.offset[r])
+        if 0 <= b < num_regular:
+            yield int(row[b]), int(row[b + 1] - row[b]), table.precision
+        else:
+            esc = num_regular
+            yield int(row[esc]), int(row[esc + 1] - row[esc]), table.precision
+            v = ((-b - 1) << 1) if b < 0 else (((b - num_regular) << 1) | 1)
+            while True:
+                unit = v & (cont - 1)
+                v >>= w
+                if v:
+                    unit |= cont
+                yield unit, 1, w + 1
+                if not v:
+                    break
+
+
+def encode_py(symbols, indexes, table, overflow_width=_OVERFLOW_WIDTH):
+    symbols = np.asarray(symbols, np.int32).ravel()
+    indexes = np.asarray(indexes, np.int32).ravel()
+    x = _RANS_L
+    words = []
+    for start, freq, bits in reversed(list(_events(symbols, indexes, table,
+                                                   overflow_width))):
+        x_max = ((_RANS_L >> bits) << 32) * freq
+        while x >= x_max:
+            words.append(x & 0xFFFFFFFF)
+            x >>= 32
+        x = ((x // freq) << bits) + (x % freq) + start
+    out = x.to_bytes(8, "little")
+    for word in reversed(words):
+        out += int(word).to_bytes(4, "little")
+    return out
+
+
+def decode_py(data, indexes, table, overflow_width=_OVERFLOW_WIDTH):
+    indexes = np.asarray(indexes, np.int32)
+    flat = indexes.ravel()
+    w = overflow_width
+    cont = 1 << w
+    x = int.from_bytes(data[:8], "little")
+    words = [int.from_bytes(data[8 + 4 * i: 12 + 4 * i], "little")
+             for i in range((len(data) - 8) // 4)]
+    pos = 0
+
+    def advance(start, freq, bits):
+        nonlocal x, pos
+        x = freq * (x >> bits) + (x & ((1 << bits) - 1)) - start
+        while x < _RANS_L:
+            x = (x << 32) | words[pos]
+            pos += 1
+
+    out = np.empty(flat.size, np.int32)
+    for i, r in enumerate(flat.tolist()):
+        row = table.cdf[r]
+        length = int(table.cdf_length[r])
+        num_regular = length - 2
+        slot = x & ((1 << table.precision) - 1)
+        b = int(np.searchsorted(row[:length], slot, side="right")) - 1
+        advance(int(row[b]), int(row[b + 1] - row[b]), table.precision)
+        if b == num_regular:
+            v = 0
+            shift = 0
+            while True:
+                unit = x & (2 * cont - 1)
+                advance(unit, 1, w + 1)
+                v |= (unit & (cont - 1)) << shift
+                shift += w
+                if not (unit & cont):
+                    break
+            b = (num_regular + (v >> 1)) if (v & 1) else (-(v >> 1) - 1)
+        out[i] = b + int(table.offset[r])
+    return out.reshape(indexes.shape)
