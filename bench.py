@@ -1,0 +1,110 @@
+"""Benchmark: 64³ blocks/sec/chip for full encode+decode on the flagship c3p.
+
+Pipeline measured (matches the reference's compress_octree→decompress_octree
+hot path, SURVEY §3.2-3.3): octree partition → batched voxelize (device) →
+analysis/hyper transforms + quantization + CDF indexes (device) → host rANS
+entropy coding → bitstream container → entropy decode → hyper/synthesis
+transforms (device) → threshold → points.
+
+Prints ONE JSON line:
+  {"metric": "blocks64_enc_dec_per_sec_per_chip", "value": N,
+   "unit": "blocks/s", "vs_baseline": R}
+
+vs_baseline divides by BASELINE_BLOCKS_PER_SEC — an estimate of the TF1
+reference's per-block throughput on its published hardware (one sess.run
+per 64³ block incl. CPU range coding; no wall-clock numbers are published,
+see BASELINE.md, so this anchor is an estimate, documented here and held
+constant across rounds for comparability).
+"""
+
+import gzip
+import io
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BLOCKS_PER_SEC = 5.0  # estimated TF1 reference throughput (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pcc_geo_cnn_v2_tpu.codec import BlockCodec
+    from pcc_geo_cnn_v2_tpu.coding.syntax import (
+        load_compressed_file,
+        save_compressed_file,
+    )
+    from pcc_geo_cnn_v2_tpu.models.configs import build_model
+    from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    log("devices:", jax.devices())
+
+    # warm the device<->host tunnel before timing anything
+    t0 = time.time()
+    np.asarray(jnp.zeros((8,)))
+    log(f"tunnel warmup {time.time()-t0:.0f}s")
+
+    # 10-bit synthetic cloud -> level-4 partition = 64^3 blocks
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(600_000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = np.unique(np.clip(np.round(v * 420 + 512), 0, 1023), axis=0)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [1024] * 3, 4)
+    log(f"{len(pts)} points -> {len(blocks)} blocks of 64^3")
+
+    from pcc_geo_cnn_v2_tpu.training import init_params
+
+    model = build_model("c3p")
+    params = init_params(model, jax.random.PRNGKey(0), 64)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    syn = params["params"]["synthesis_t"]
+    last = sorted(k for k in syn if "ConvTranspose" in k)[-1]
+    syn[last]["bias"] = syn[last]["bias"] + 0.55  # untrained net: non-empty output
+
+    codec = BlockCodec(model, params, block_size=64, batch_blocks=32)
+
+    # compile + warm both device paths on a small prefix
+    warm_out = codec.encode_blocks(blocks[:2])
+    payload_warm = [(codec.entropy_encode(warm_out, i), 128) for i in range(2)]
+    _ = codec.decompress_blocks(payload_warm)
+    log("warmup done")
+
+    t0 = time.time()
+    data_list, metadata = codec.compress_blocks(
+        blocks, binstr, pts, 1024, 4, opt_metrics=("d1_mse",),
+        fixed_threshold=True,
+    )
+    t_enc = time.time() - t0
+    raw = gzip.compress(save_compressed_file(binstr, data_list[0], 1024, 4))
+    bpp = len(raw) * 8 / len(pts)
+    log(f"encode {t_enc:.2f}s ({len(blocks)/t_enc:.2f} blocks/s), {bpp:.3f} bpp")
+
+    _, _, binstr2, payload = load_compressed_file(
+        io.BytesIO(gzip.decompress(raw))
+    )
+    t0 = time.time()
+    dec_blocks = codec.decompress_blocks(payload)
+    t_dec = time.time() - t0
+    log(f"decode {t_dec:.2f}s ({len(blocks)/t_dec:.2f} blocks/s)")
+
+    ok = all(
+        np.array_equal(d, e)
+        for d, e in zip(dec_blocks, metadata[0]["x_hat_list"])
+    )
+    assert ok, "decoder output != encoder-embedded reconstruction"
+
+    value = len(blocks) / (t_enc + t_dec)
+    print(json.dumps({
+        "metric": "blocks64_enc_dec_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "blocks/s",
+        "vs_baseline": round(value / BASELINE_BLOCKS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

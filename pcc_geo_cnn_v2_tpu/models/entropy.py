@@ -137,15 +137,21 @@ class FactorizedPrior(nn.Module):
             (self.channels, 3),
         )
 
-    def _logits_cumulative(self, x):
-        """Monotone logit of the cumulative; x: [C, 1, M] -> [C, 1, M]."""
+    def _logits_cumulative(self, x, stop_params=False):
+        """Monotone logit of the cumulative; x: [C, 1, M] -> [C, 1, M].
+
+        ``stop_params=True`` blocks gradients into the density parameters
+        (used by the aux loss so it only moves the quantiles, as in tfc's
+        ``_logits_cumulative(..., stop_gradient=True)``).
+        """
+        sg = jax.lax.stop_gradient if stop_params else (lambda t: t)
         u = x
         n_layers = len(self.filters) + 1
         for k in range(n_layers):
-            m = jax.nn.softplus(self._matrices[k])
-            u = jnp.einsum("cij,cjm->cim", m, u) + self._biases[k]
+            m = jax.nn.softplus(sg(self._matrices[k]))
+            u = jnp.einsum("cij,cjm->cim", m, u) + sg(self._biases[k])
             if k < len(self._factors):
-                u = u + jnp.tanh(self._factors[k]) * jnp.tanh(u)
+                u = u + jnp.tanh(sg(self._factors[k])) * jnp.tanh(u)
         return u
 
     def medians(self):
@@ -186,7 +192,8 @@ class FactorizedPrior(nn.Module):
         The reference minimizes this with a separate Adam(1e-3)
         (``model_types.py:279-280``).
         """
-        logits = self._logits_cumulative(self.quantiles[:, None, :])
+        logits = self._logits_cumulative(self.quantiles[:, None, :],
+                                         stop_params=True)
         t = self.tail_mass
         targets = jnp.log(
             jnp.array([t / 2, 0.5, 1 - t / 2]) / jnp.array([1 - t / 2, 0.5, t / 2])

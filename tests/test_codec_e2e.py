@@ -1,0 +1,121 @@
+"""End-to-end codec roundtrips on the CPU mesh: compress → bitstream →
+decompress, asserting decoder output is bit-identical to the encoder's
+embedded reconstruction (the property the reference could only assert via
+its --debug retry loop, decompress_octree.py:64-131)."""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+import jax
+
+from pcc_geo_cnn_v2_tpu.codec import BlockCodec
+from pcc_geo_cnn_v2_tpu.coding.syntax import (
+    load_compressed_file,
+    save_compressed_file,
+)
+from pcc_geo_cnn_v2_tpu.models.configs import build_model
+from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
+from conftest import reference_module
+
+RESOLUTION = 32
+LEVEL = 1
+BLOCK = 16
+
+
+def _random_cloud(seed, n=600):
+    rng = np.random.default_rng(seed)
+    pts = rng.integers(0, RESOLUTION, size=(n, 3)).astype(np.float64)
+    return np.unique(pts, axis=0)
+
+
+def _init_codec(config, seed=0, **kw):
+    model = build_model(config)
+    x = np.zeros((1, BLOCK, BLOCK, BLOCK, 1), np.float32)
+    params = model.init(jax.random.PRNGKey(seed), x, training=False)
+    # Untrained synthesis can output all-zero probabilities; lift the final
+    # deconv bias so candidate sets are non-empty and the full selection
+    # pipeline is exercised.
+    params = jax.tree_util.tree_map(np.asarray, params)
+    syn = params["params"]["synthesis_t"]
+    last = sorted(k for k in syn if k.startswith("ConvTranspose"))[-1]
+    syn[last]["bias"] = syn[last]["bias"] + 0.55
+    return BlockCodec(model, params, block_size=BLOCK, batch_blocks=4, **kw)
+
+
+@pytest.mark.parametrize("config,n_strings", [
+    (dict(model="v1", num_filters=8, analysis="AnalysisTransformV1",
+          synthesis="SynthesisTransformV1"), 1),
+    (dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+          synthesis="SynthesisTransformV1"), 2),
+])
+def test_roundtrip_bit_exact(config, n_strings):
+    pts = _random_cloud(1)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3, LEVEL)
+    codec = _init_codec(config)
+
+    data_list, metadata = codec.compress_blocks(
+        blocks, binstr, pts, RESOLUTION, LEVEL, opt_metrics=("d1_mse",)
+    )
+    assert len(data_list) == 1  # one d1 group
+    payload = data_list[0]
+    assert all(len(strings) == n_strings for strings, _ in payload)
+
+    # container roundtrip (gzipped, as the reference CLI writes it)
+    raw = save_compressed_file(binstr, payload, RESOLUTION, LEVEL)
+    zipped = gzip.compress(raw)
+    res2, lvl2, binstr2, payload2 = load_compressed_file(
+        io.BytesIO(gzip.decompress(zipped))
+    )
+    assert (res2, lvl2) == (RESOLUTION, LEVEL)
+    np.testing.assert_array_equal(binstr2, binstr)
+    assert [b[1] for b in payload2] == [int(b[1]) for b in payload]
+
+    # decode and compare against the encoder's own selected candidates
+    dec_blocks = codec.decompress_blocks(payload2)
+    enc_blocks = metadata[0]["x_hat_list"]
+    assert len(dec_blocks) == len(enc_blocks)
+    for d, e in zip(dec_blocks, enc_blocks):
+        np.testing.assert_array_equal(d, e)
+
+    bpp = len(zipped) * 8 / len(pts)
+    assert 0 < bpp < 500  # sane size for an untrained model
+
+
+def test_syntax_matches_reference_oracle():
+    ref = reference_module("model_syntax")
+    binstr = [3, 128, 255]
+    payload = [((b"abc", b"d"), 7), ((b"", b"xy"), 255)]
+    mine = save_compressed_file(binstr, payload, 1024, 4)
+    theirs = ref.save_compressed_file(
+        binstr, [([b"abc", b"d"], 7), ([b"", b"xy"], 255)], 1024, 4
+    )
+    assert mine == theirs
+    res, lvl, b2, blocks2 = load_compressed_file(io.BytesIO(theirs))
+    assert res == 1024 and lvl == 4
+    np.testing.assert_array_equal(b2, binstr)
+    assert blocks2 == [([b"abc", b"d"], 7), ([b"", b"xy"], 255)]
+
+
+def test_syntax_overflow_raises():
+    with pytest.raises(AssertionError):
+        save_compressed_file([1], [((b"x",), 0)], 2 ** 16, 4)  # u16 overflow
+    with pytest.raises(AssertionError):
+        save_compressed_file([1], [((b"x",), 300)], 64, 4)  # u8 overflow
+
+
+def test_fixed_threshold_path():
+    pts = _random_cloud(3, n=300)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3, LEVEL)
+    codec = _init_codec(
+        dict(model="v1", num_filters=8, analysis="AnalysisTransformV1",
+             synthesis="SynthesisTransformV1")
+    )
+    data_list, _ = codec.compress_blocks(
+        blocks, binstr, pts, RESOLUTION, LEVEL, opt_metrics=("d1_mse",),
+        fixed_threshold=True,
+    )
+    # fixed threshold = len(thresholds)//2 everywhere
+    assert all(t == 128 for _, t in data_list[0])
