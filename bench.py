@@ -56,27 +56,50 @@ def main():
     blocks, binstr = partition_octree(pts, [0, 0, 0], [1024] * 3, 4)
     log(f"{len(pts)} points -> {len(blocks)} blocks of 64^3")
 
-    from pcc_geo_cnn_v2_tpu.training import init_params
+    from pcc_geo_cnn_v2_tpu.training import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from pcc_geo_cnn_v2_tpu.utils.data import BlockDataset, synthetic_blocks
 
+    # Quick-train c3p on synthetic surface blocks so codec load (candidate
+    # set sizes, symbol entropy) is representative of a converged model.
     model = build_model("c3p")
-    params = init_params(model, jax.random.PRNGKey(0), 64)
-    params = jax.tree_util.tree_map(np.asarray, params)
-    syn = params["params"]["synthesis_t"]
-    last = sorted(k for k in syn if "ConvTranspose" in k)[-1]
-    syn[last]["bias"] = syn[last]["bias"] + 0.55  # untrained net: non-empty output
+    cfg = TrainConfig(block_size=64, batch_size=8, lmbda=5e-5)
+    state = create_train_state(model, jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(model, cfg)
+    ds = BlockDataset(synthetic_blocks(64, block_size=64, seed=1),
+                      max_points=4096)
+    it = ds.batches(cfg.batch_size, seed=0)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    n_train = int(__import__("os").environ.get("BENCH_TRAIN_STEPS", 150))
+    for i in range(n_train):
+        rng, k = jax.random.split(rng)
+        state, logs = step_fn(state, jnp.asarray(next(it)), k)
+    logs = jax.device_get(logs)
+    log(f"quick-train {n_train} steps in {time.time()-t0:.0f}s "
+        f"(loss {logs['loss']:.3f}, mbpov {logs['mbpov']:.3f})")
+    params = jax.device_get(state.params)
 
     codec = BlockCodec(model, params, block_size=64, batch_blocks=32)
 
-    # compile + warm both device paths on a small prefix
-    warm_out = codec.encode_blocks(blocks[:2])
+    # compile + warm both device paths (same shapes as the timed run)
+    from pcc_geo_cnn_v2_tpu.ops.voxel import pack_points
+
+    budget = max(int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64)
+    warm_pts, _ = pack_points(blocks[: codec.batch_blocks], max_points=budget)
+    warm_out = jax.device_get(
+        codec._encode_opt_fn(("d1_mse",), (np.inf,))(jnp.asarray(warm_pts))
+    )
     payload_warm = [(codec.entropy_encode(warm_out, i), 128) for i in range(2)]
     _ = codec.decompress_blocks(payload_warm)
     log("warmup done")
 
     t0 = time.time()
-    data_list, metadata = codec.compress_blocks(
+    data_list, metadata = codec.compress_blocks_device_opt(
         blocks, binstr, pts, 1024, 4, opt_metrics=("d1_mse",),
-        fixed_threshold=True,
     )
     t_enc = time.time() - t0
     raw = gzip.compress(save_compressed_file(binstr, data_list[0], 1024, 4))

@@ -132,19 +132,40 @@ class BlockCodec:
                 self.params, voxelize(pts, size), method=self.model.encode
             )
         )
+        self._encode_opt_cache = {}
+        def _mask_pack(x_hat, thr):
+            mask = x_hat[..., 0] > thr[:, None, None, None]
+            return jnp.packbits(mask.reshape(mask.shape[0], -1), axis=-1,
+                                bitorder="big")
+
         if self.is_v2:
             self._decode_z = jax.jit(
-                lambda s: self.model.apply(self.params, s,
-                                           method=self.model.decode_z)
+                lambda s: self.model.apply(
+                    self.params, s, method=self.model.decode_z
+                )[1].astype(jnp.uint8)
             )
             self._decode_y = jax.jit(
                 lambda s: self.model.apply(self.params, s,
                                            method=self.model.decode_y)
             )
+            # decode + threshold + bitpack on device (decoded probability
+            # grids are 256x bigger than the packed masks)
+            self._decode_y_mask = jax.jit(
+                lambda s, thr: _mask_pack(
+                    self.model.apply(self.params, s,
+                                     method=self.model.decode_y), thr
+                )
+            )
         else:
             self._decode = jax.jit(
                 lambda s: self.model.apply(self.params, s,
                                            method=self.model.decode)
+            )
+            self._decode_mask = jax.jit(
+                lambda s, thr: _mask_pack(
+                    self.model.apply(self.params, s,
+                                     method=self.model.decode), thr
+                )
             )
 
     # -- shape helpers ----------------------------------------------------
@@ -164,10 +185,35 @@ class BlockCodec:
             np.arange(shape[-1], dtype=np.int32), shape
         )
 
+    @staticmethod
+    def _compact(out):
+        """Shrink device→host transfer dtypes; tunnel bandwidth is scarce.
+
+        Symbols travel as int16 with an overflow counter the host asserts
+        on (values beyond ±32k mean the model diverged).
+        """
+        compact = dict(out)
+        overflow = jnp.asarray(0, jnp.int32)
+        for key in ("y_sym", "z_sym"):
+            if key in compact:
+                s16 = compact[key].astype(jnp.int16)
+                overflow = overflow + jnp.sum(
+                    (s16.astype(jnp.int32) != compact[key]).astype(jnp.int32)
+                )
+                compact[key] = s16
+        if "y_idx" in compact:
+            compact["y_idx"] = compact["y_idx"].astype(jnp.uint8)
+        compact["sym_overflow"] = overflow.reshape(1)
+        return compact
+
     # -- device passes in chunks ------------------------------------------
 
     def _run_chunked(self, fn, arrays, n):
-        """Apply a jitted per-batch fn over n items, padding the last chunk."""
+        """Apply a jitted per-batch fn over n items, padding the last chunk.
+
+        All chunks are dispatched before any result is fetched — JAX's async
+        dispatch pipelines device compute with host transfers.
+        """
         outs = []
         bs = self.batch_blocks
         for lo in range(0, n, bs):
@@ -180,9 +226,8 @@ class BlockCodec:
                     )
                     for c in chunk
                 ]
-            out = fn(*[jnp.asarray(c) for c in chunk])
-            outs.append(jax.device_get(out))
-        # stitch and trim
+            outs.append(fn(*[jnp.asarray(c) for c in chunk]))
+        outs = jax.device_get(outs)
         stitched = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *outs)
         return jax.tree_util.tree_map(lambda a: a[:n], stitched)
 
@@ -210,6 +255,111 @@ class BlockCodec:
                              self._channel_indexes(self.y_shape),
                              self.eb_table)
         return (y_string,)
+
+    def _encode_opt_fn(self, opt_metrics, max_deltas):
+        """Jitted encode + on-device threshold sweep + bit-packed masks.
+
+        Returns (symbols..., picks [N, M], packed_masks [N, M, B³/8]);
+        the float probability grids never leave the device.
+        """
+        key = (tuple(opt_metrics), tuple(max_deltas))
+        if key in self._encode_opt_cache:
+            return self._encode_opt_cache[key]
+        from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+            select_thresholds_d1_batch,
+        )
+
+        size = self.block_size
+        thresholds = jnp.asarray(self.thresholds, jnp.float32)
+
+        def fn(pts):
+            x = voxelize(pts, size)
+            out = self.model.apply(self.params, x, method=self.model.encode)
+            occ = x[..., 0]
+            x_hat = out.pop("x_hat")[..., 0]
+            picks = select_thresholds_d1_batch(
+                occ, x_hat, thresholds, opt_metrics=opt_metrics,
+                max_deltas=max_deltas,
+            )  # [N, M]
+            masks = (
+                x_hat[:, None] > thresholds[picks][..., None, None, None]
+            )  # [N, M, B, B, B]
+            n = masks.shape[0]
+            m = masks.shape[1]
+            packed = jnp.packbits(
+                masks.reshape(n, m, -1), axis=-1, bitorder="big"
+            )
+            out["picks"] = picks
+            out["packed_masks"] = packed
+            return self._compact(out)
+
+        jitted = jax.jit(fn)
+        self._encode_opt_cache[key] = jitted
+        return jitted
+
+    def compress_blocks_device_opt(self, blocks, binstr, points, resolution,
+                                   level, opt_metrics=("d1_mse",),
+                                   max_deltas=(np.inf,)):
+        """Encoder with the fused on-device threshold sweep (d1 metrics).
+
+        Same outputs as :meth:`compress_blocks`; ~256 host KD-tree metric
+        evaluations per block collapse into the jitted device pass.
+        """
+        import time
+
+        from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import D1_METRICS
+
+        assert all(m in D1_METRICS for m in opt_metrics), opt_metrics
+        n = len(blocks)
+        budget = max(
+            int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
+        )
+        pts_packed, _ = pack_points(blocks, max_points=budget)
+        t0 = time.time()
+        out = self._run_chunked(
+            self._encode_opt_fn(opt_metrics, max_deltas), [pts_packed], n
+        )
+        t_device = time.time() - t0
+        assert int(np.sum(out["sym_overflow"])) == 0, "int16 symbol overflow"
+
+        t0 = time.time()
+        with ThreadPoolExecutor(self.threads) as pool:
+            strings_list = list(
+                pool.map(lambda i: self.entropy_encode(out, i), range(n))
+            )
+        t_entropy = time.time() - t0
+        opt_names = [f"{m}_{d}" for d in max_deltas for m in opt_metrics]
+        threshold_list = [list(map(int, row)) for row in out["picks"]]
+        bsz = self.block_size
+        n_metrics = len(opt_names)
+        t0 = time.time()
+        x_hat_points = [
+            [
+                np.argwhere(
+                    np.unpackbits(out["packed_masks"][i, m], bitorder="big")
+                    .reshape(bsz, bsz, bsz)
+                ).astype(np.float32)
+                for i in range(n)
+            ]
+            for m in range(n_metrics)
+        ]
+        t_unpack = time.time() - t0
+        t0 = time.time()
+        metadata = select_best_per_opt_metric(
+            binstr, x_hat_points, level, opt_names, points, resolution,
+            with_normals=False,
+        )
+        t_select = time.time() - t0
+        logger.info(
+            "compress_blocks_device_opt(%d blocks): device %.2fs, "
+            "entropy %.2fs, unpack %.2fs, select %.2fs",
+            n, t_device, t_entropy, t_unpack, t_select,
+        )
+        by_metric = list(map(list, zip(*threshold_list)))
+        data_list = [
+            list(zip(strings_list, by_metric[m["idx"]])) for m in metadata
+        ]
+        return data_list, metadata
 
     def compress_blocks(self, blocks, binstr, points, resolution, level,
                         with_normals=False, opt_metrics=("d1_mse",),
@@ -266,9 +416,16 @@ class BlockCodec:
     # -- decode ------------------------------------------------------------
 
     def decompress_blocks(self, payload):
-        """payload: [(strings, threshold_idx), ...] → decoded point blocks."""
+        """payload: [(strings, threshold_idx), ...] → decoded point blocks.
+
+        Thresholding and bit-packing happen on device; only 1-bit masks
+        cross back to the host.
+        """
         n = len(payload)
-        size = self.block_size
+        bsz = self.block_size
+        thr = np.array(
+            [self.thresholds[t] for _, t in payload], np.float32
+        )
 
         if self.is_v2:
             z_idx = self._channel_indexes(self.z_shape)
@@ -280,22 +437,22 @@ class BlockCodec:
                             payload,
                         )
                     )
-                )
-            dz = self._run_chunked(
-                lambda z: self._decode_z(z)[1], [z_syms], n
-            )  # y indexes
+                ).astype(np.int16)
+            dz = self._run_chunked(self._decode_z, [z_syms], n)  # y indexes
             with ThreadPoolExecutor(self.threads) as pool:
                 y_syms = np.stack(
                     list(
                         pool.map(
                             lambda args: rc.decode(
-                                args[0][0][0], args[1], self.gc_table
+                                args[0][0][0],
+                                args[1].astype(np.int32),
+                                self.gc_table,
                             ),
                             zip(payload, dz),
                         )
                     )
-                )
-            x_hat = self._run_chunked(self._decode_y, [y_syms], n)
+                ).astype(np.int16)
+            packed = self._run_chunked(self._decode_y_mask, [y_syms, thr], n)
         else:
             y_idx = self._channel_indexes(self.y_shape)
             with ThreadPoolExecutor(self.threads) as pool:
@@ -306,11 +463,13 @@ class BlockCodec:
                             payload,
                         )
                     )
-                )
-            x_hat = self._run_chunked(self._decode, [y_syms], n)
+                ).astype(np.int16)
+            packed = self._run_chunked(self._decode_mask, [y_syms, thr], n)
 
         dec_blocks = []
-        for i, (_, thr_idx) in enumerate(payload):
-            mask = x_hat[i, ..., 0] > self.thresholds[thr_idx]
+        for i in range(n):
+            mask = np.unpackbits(packed[i], bitorder="big").reshape(
+                bsz, bsz, bsz
+            )
             dec_blocks.append(np.argwhere(mask).astype(np.float32))
         return dec_blocks

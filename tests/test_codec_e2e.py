@@ -119,3 +119,30 @@ def test_fixed_threshold_path():
     )
     # fixed threshold = len(thresholds)//2 everywhere
     assert all(t == 128 for _, t in data_list[0])
+
+
+def test_device_opt_path_matches_host_path():
+    """compress_blocks_device_opt must produce identical bitstream payloads
+    and selections to the exact host threshold path."""
+    pts = _random_cloud(5)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3, LEVEL)
+    codec = _init_codec(
+        dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+             synthesis="SynthesisTransformV1")
+    )
+    host_data, host_meta = codec.compress_blocks(
+        blocks, binstr, pts, RESOLUTION, LEVEL,
+        opt_metrics=("d1_mse", "d1_mse_BA"), max_deltas=(np.inf, 3.0),
+    )
+    dev_data, dev_meta = codec.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL,
+        opt_metrics=("d1_mse", "d1_mse_BA"), max_deltas=(np.inf, 3.0),
+    )
+    assert len(host_data) == len(dev_data) == 1
+    for (hs, ht), (ds, dt) in zip(host_data[0], dev_data[0]):
+        assert ht == dt, "threshold selection diverged"
+        assert hs == ds, "strings diverged"
+    for hm, dm in zip(host_meta, dev_meta):
+        assert hm["idx"] == dm["idx"]
+        for hb, db in zip(hm["x_hat_list"], dm["x_hat_list"]):
+            np.testing.assert_array_equal(hb, db)

@@ -1,0 +1,133 @@
+"""On-device EDT + threshold sweep vs the exact host path (selection parity)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcc_geo_cnn_v2_tpu.ops.edt import squared_edt
+from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+    d1_sweep,
+    select_thresholds_d1,
+    select_thresholds_d1_batch,
+)
+from pcc_geo_cnn_v2_tpu.utils.threshold import compute_optimal_thresholds
+
+B = 16
+T = 64
+
+
+def _brute_edt(occ):
+    pts = np.argwhere(occ)
+    out = np.full(occ.shape, 1e12, np.float64)
+    if len(pts) == 0:
+        return out
+    grid = np.argwhere(np.ones_like(occ))
+    d = ((grid[:, None, :] - pts[None, :, :]) ** 2).sum(-1).min(1)
+    return d.reshape(occ.shape)
+
+
+def test_squared_edt_exact():
+    rng = np.random.default_rng(0)
+    occ = rng.random((8, 8, 8)) < 0.05
+    occ[0, 0, 0] = True  # ensure nonempty
+    mine = np.asarray(squared_edt(jnp.asarray(occ)))
+    np.testing.assert_array_equal(mine, _brute_edt(occ))
+
+
+def test_squared_edt_batched_and_empty():
+    rng = np.random.default_rng(1)
+    occ = rng.random((3, 8, 8, 8)) < 0.04
+    occ[1] = False  # empty grid
+    out = np.asarray(squared_edt(jnp.asarray(occ)))
+    for i in (0, 2):
+        np.testing.assert_array_equal(out[i], _brute_edt(occ[i]))
+    assert (out[1] >= 1e11).all()
+
+
+def _case(seed, lift=0.0):
+    """Random block + smooth-ish probability field correlated with it."""
+    rng = np.random.default_rng(seed)
+    pts = np.unique(rng.integers(0, B, (rng.integers(30, 300), 3)), axis=0)
+    occ = np.zeros((B, B, B), np.float32)
+    occ[pts[:, 0], pts[:, 1], pts[:, 2]] = 1.0
+    noise = rng.random((B, B, B)).astype(np.float32)
+    x_hat = np.clip(0.65 * occ + 0.35 * noise + lift, 0.0, 1.0)
+    return pts.astype(np.float64), occ, x_hat
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("opt_metrics", [("d1_mse",),
+                                         ("d1_mse", "d1_mse_BA", "d1_sum_max")])
+@pytest.mark.parametrize("max_deltas", [(np.inf,), (np.inf, 3.0)])
+def test_selection_parity_with_host(seed, opt_metrics, max_deltas):
+    pts, occ, x_hat = _case(seed)
+    thresholds = np.linspace(0, 1.0, T)
+    _, host_pick = compute_optimal_thresholds(
+        pts, x_hat, thresholds, B, opt_metrics=opt_metrics,
+        max_deltas=max_deltas,
+    )
+    dev_pick = np.asarray(
+        jax.jit(
+            lambda o, x: select_thresholds_d1(
+                o, x, jnp.asarray(thresholds, jnp.float32),
+                opt_metrics=opt_metrics, max_deltas=max_deltas,
+            )
+        )(jnp.asarray(occ), jnp.asarray(x_hat))
+    )
+    assert list(dev_pick) == list(host_pick), (
+        f"device {list(dev_pick)} vs host {host_pick}"
+    )
+
+
+def test_selection_parity_degenerate_all_below():
+    """x_hat never exceeds threshold 0 → empty everywhere → max_idx."""
+    pts, occ, _ = _case(7)
+    x_hat = np.zeros((B, B, B), np.float32)
+    thresholds = np.linspace(0, 1.0, T)
+    _, host_pick = compute_optimal_thresholds(pts, x_hat, thresholds, B)
+    dev_pick = np.asarray(
+        select_thresholds_d1(jnp.asarray(occ), jnp.asarray(x_hat),
+                             jnp.asarray(thresholds, jnp.float32))
+    )
+    assert list(dev_pick) == list(host_pick) == [T - 1]
+
+
+def test_batch_wrapper_matches_single():
+    thresholds = jnp.asarray(np.linspace(0, 1.0, T), jnp.float32)
+    occs, xhats, singles = [], [], []
+    for seed in range(3):
+        _, occ, x_hat = _case(seed + 10)
+        occs.append(occ)
+        xhats.append(x_hat)
+        singles.append(
+            np.asarray(select_thresholds_d1(jnp.asarray(occ),
+                                            jnp.asarray(x_hat), thresholds))
+        )
+    batch = np.asarray(
+        select_thresholds_d1_batch(jnp.asarray(np.stack(occs)),
+                                   jnp.asarray(np.stack(xhats)), thresholds)
+    )
+    np.testing.assert_array_equal(batch, np.stack(singles))
+
+
+def test_sweep_metrics_match_host_values():
+    """Spot-check sweep metric values against scipy KD metrics."""
+    from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
+
+    pts, occ, x_hat = _case(20)
+    thresholds = np.linspace(0, 1.0, T)
+    sweep = jax.tree_util.tree_map(
+        np.asarray,
+        d1_sweep(jnp.asarray(occ), jnp.asarray(x_hat),
+                 jnp.asarray(thresholds, jnp.float32)),
+    )
+    for t_idx in (0, 10, 30):
+        cand = np.argwhere(x_hat > thresholds[t_idx]).astype(np.float64)
+        if len(cand) == 0:
+            continue
+        ref = compute_metrics(pts, cand, B - 1)
+        for key in ("d1_sum_AB", "d1_sum_BA", "d1_mse", "d1_mse_AB"):
+            np.testing.assert_allclose(sweep[key][t_idx], ref[key],
+                                       rtol=1e-5, err_msg=f"{key}@{t_idx}")
