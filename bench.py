@@ -20,10 +20,13 @@ constant across rounds for comparability).
 import gzip
 import io
 import json
+import logging
 import sys
 import time
 
 import numpy as np
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 BASELINE_BLOCKS_PER_SEC = 5.0  # estimated TF1 reference throughput (see above)
 
@@ -74,7 +77,7 @@ def main():
     it = ds.batches(cfg.batch_size, seed=0)
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
-    n_train = int(__import__("os").environ.get("BENCH_TRAIN_STEPS", 150))
+    n_train = int(__import__("os").environ.get("BENCH_TRAIN_STEPS", 1200))
     for i in range(n_train):
         rng, k = jax.random.split(rng)
         state, logs = step_fn(state, jnp.asarray(next(it)), k)

@@ -333,16 +333,19 @@ class BlockCodec:
         bsz = self.block_size
         n_metrics = len(opt_names)
         t0 = time.time()
-        x_hat_points = [
-            [
-                np.argwhere(
-                    np.unpackbits(out["packed_masks"][i, m], bitorder="big")
-                    .reshape(bsz, bsz, bsz)
-                ).astype(np.float32)
-                for i in range(n)
-            ]
-            for m in range(n_metrics)
-        ]
+
+        def _unpack(args):
+            i, m = args
+            return np.argwhere(
+                np.unpackbits(out["packed_masks"][i, m], bitorder="big")
+                .reshape(bsz, bsz, bsz)
+            ).astype(np.float32)
+
+        with ThreadPoolExecutor(self.threads) as pool:
+            flat = list(pool.map(_unpack,
+                                 [(i, m) for m in range(n_metrics)
+                                  for i in range(n)]))
+        x_hat_points = [flat[m * n:(m + 1) * n] for m in range(n_metrics)]
         t_unpack = time.time() - t0
         t0 = time.time()
         metadata = select_best_per_opt_metric(

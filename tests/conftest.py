@@ -7,7 +7,11 @@ Must run before the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Child processes (subprocess-driven CLIs) must not grab the TPU either:
+# the axon sitecustomize registers the TPU backend only when
+# PALLAS_AXON_POOL_IPS is set, so clear it and force CPU for children.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
