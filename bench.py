@@ -21,12 +21,17 @@ import gzip
 import io
 import json
 import logging
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+# persistent XLA compile cache: repeated bench runs skip the 1-3 min
+# remote compiles of the c3p graphs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 BASELINE_BLOCKS_PER_SEC = 5.0  # estimated TF1 reference throughput (see above)
 
@@ -59,32 +64,48 @@ def main():
     blocks, binstr = partition_octree(pts, [0, 0, 0], [1024] * 3, 4)
     log(f"{len(pts)} points -> {len(blocks)} blocks of 64^3")
 
-    from pcc_geo_cnn_v2_tpu.training import (
-        TrainConfig,
-        create_train_state,
-        make_train_step,
-    )
-    from pcc_geo_cnn_v2_tpu.utils.data import BlockDataset, synthetic_blocks
-
-    # Quick-train c3p on synthetic surface blocks so codec load (candidate
-    # set sizes, symbol entropy) is representative of a converged model.
+    # Model: use the committed benchmark checkpoint when present (realistic
+    # RD operating point, no retraining); otherwise quick-train on
+    # synthetic surface blocks.
     model = build_model("c3p")
-    cfg = TrainConfig(block_size=64, batch_size=8, lmbda=5e-5)
-    state = create_train_state(model, jax.random.PRNGKey(0), cfg)
-    step_fn = make_train_step(model, cfg)
-    ds = BlockDataset(synthetic_blocks(64, block_size=64, seed=1),
-                      max_points=4096)
-    it = ds.batches(cfg.batch_size, seed=0)
-    rng = jax.random.PRNGKey(1)
-    t0 = time.time()
-    n_train = int(__import__("os").environ.get("BENCH_TRAIN_STEPS", 1200))
-    for i in range(n_train):
-        rng, k = jax.random.split(rng)
-        state, logs = step_fn(state, jnp.asarray(next(it)), k)
-    logs = jax.device_get(logs)
-    log(f"quick-train {n_train} steps in {time.time()-t0:.0f}s "
-        f"(loss {logs['loss']:.3f}, mbpov {logs['mbpov']:.3f})")
-    params = jax.device_get(state.params)
+    ckpt = (Path(__file__).parent
+            / "pcc_geo_cnn_v2_tpu/assets/bench_c3p.msgpack.gz")
+    if ckpt.exists():
+        from flax import serialization
+        from pcc_geo_cnn_v2_tpu.training import create_train_state, TrainConfig
+
+        template = jax.device_get(
+            create_train_state(model, jax.random.PRNGKey(0),
+                               TrainConfig(block_size=16)).params
+        )
+        params = serialization.from_bytes(
+            template, gzip.decompress(ckpt.read_bytes())
+        )
+        log(f"loaded benchmark checkpoint {ckpt.name}")
+    else:
+        from pcc_geo_cnn_v2_tpu.training import (
+            TrainConfig,
+            create_train_state,
+            make_train_step,
+        )
+        from pcc_geo_cnn_v2_tpu.utils.data import BlockDataset, synthetic_blocks
+
+        cfg = TrainConfig(block_size=64, batch_size=8, lmbda=5e-5)
+        state = create_train_state(model, jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(model, cfg)
+        ds = BlockDataset(synthetic_blocks(64, block_size=64, seed=1),
+                          max_points=4096)
+        it = ds.batches(cfg.batch_size, seed=0)
+        rng = jax.random.PRNGKey(1)
+        t0 = time.time()
+        n_train = int(os.environ.get("BENCH_TRAIN_STEPS", 1200))
+        for i in range(n_train):
+            rng, k = jax.random.split(rng)
+            state, logs = step_fn(state, jnp.asarray(next(it)), k)
+        logs = jax.device_get(logs)
+        log(f"quick-train {n_train} steps in {time.time()-t0:.0f}s "
+            f"(loss {logs['loss']:.3f}, mbpov {logs['mbpov']:.3f})")
+        params = jax.device_get(state.params)
 
     codec = BlockCodec(model, params, block_size=64, batch_blocks=32)
 

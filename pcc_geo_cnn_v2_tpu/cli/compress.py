@@ -57,6 +57,9 @@ def main(argv=None):
     parser.add_argument("--batch_blocks", type=int, default=32)
     parser.add_argument("--threshold_mode", default="auto",
                         choices=["auto", "device", "host"])
+    parser.add_argument("--debug", action="store_true",
+                        help="Dump encoder-side symbols for the decoder's "
+                             "bit-exactness check.")
     args = parser.parse_args(argv)
 
     with_normals = args.input_normals is not None
@@ -128,6 +131,13 @@ def main(argv=None):
             if args.dec_files:
                 pc_io.write_ply(args.dec_files[i * files_mult + j],
                                 meta["blocks_full"][:, :3])
+        if args.debug:
+            enc_out = codec.encode_blocks(blocks)
+            np.savez_compressed(
+                outs[0] + ".enc.debug.npz",
+                **{k: v for k, v in enc_out.items()
+                   if isinstance(v, np.ndarray)},
+            )
         logger.info("%s done -> %s", infile, ", ".join(outs))
 
 

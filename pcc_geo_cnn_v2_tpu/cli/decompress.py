@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--checkpoint_dir", required=True)
     add_model_args(parser)
     parser.add_argument("--batch_blocks", type=int, default=32)
+    parser.add_argument("--debug", action="store_true",
+                        help="Verify decoded symbols against the encoder's "
+                             "--debug dump (bit-exactness harness).")
     args = parser.parse_args(argv)
     assert len(args.input_files) == len(args.output_files)
 
@@ -49,7 +52,21 @@ def main(argv=None):
             codec = BlockCodec(model, params, block_size=block_size,
                                batch_blocks=args.batch_blocks)
         logger.info("%s: %d blocks at %d^3", infile, len(payload), block_size)
-        dec_blocks = codec.decompress_blocks(payload)
+        if args.debug:
+            dec_blocks, dbg = codec.decompress_blocks(payload,
+                                                      return_debug=True)
+            dump_path = infile + ".enc.debug.npz"
+            dump = np.load(dump_path)
+            for key in ("y_sym", "z_sym"):
+                if key in dump and key in dbg:
+                    np.testing.assert_array_equal(
+                        dbg[key].astype(np.int32),
+                        dump[key].astype(np.int32),
+                        err_msg=f"{key} mismatch vs {dump_path}",
+                    )
+            logger.info("debug: decoded symbols bit-exact vs encoder dump")
+        else:
+            dec_blocks = codec.decompress_blocks(payload)
         dec_blocks = departition_octree(
             dec_blocks, binstr, [0, 0, 0], [resolution] * 3, level
         )

@@ -107,15 +107,28 @@ class BlockCodec:
     """Drives a trained compression model over lists of octree blocks."""
 
     def __init__(self, model, params, block_size=64, n_thresholds=2 ** 8,
-                 batch_blocks=32, threads=8):
+                 batch_blocks=32, threads=8, sweep_backend="auto",
+                 devices=None):
+        """:param devices: optional device list; block chunks round-robin
+        across them with replicated params (octree blocks are embarrassingly
+        parallel — no collectives needed, linear scaling over a slice)."""
         self.model = model
         self.params = params
         self.block_size = int(block_size)
         self.thresholds = np.linspace(0, 1.0, n_thresholds)
         self.batch_blocks = int(batch_blocks)
         self.threads = threads
+        if sweep_backend == "auto":
+            sweep_backend = ("pallas" if jax.default_backend() == "tpu"
+                             else "xla")
+        self.sweep_backend = sweep_backend
         self.is_v2 = isinstance(model, CompressionModelV2)
         assert self.is_v2 or isinstance(model, CompressionModelV1)
+        self.devices = list(devices) if devices else None
+        if self.devices:
+            self._params_per_dev = [
+                jax.device_put(params, d) for d in self.devices
+            ]
 
         eb_params = params["params"]["entropy_bottleneck"]
         self.eb_table = build_factorized_cdf(eb_params)
@@ -128,8 +141,8 @@ class BlockCodec:
         # dispatch is pathologically slow over the remote-TPU tunnel.
         size = self.block_size
         self._encode = jax.jit(
-            lambda pts: self.model.apply(
-                self.params, voxelize(pts, size), method=self.model.encode
+            lambda params, pts: self.model.apply(
+                params, voxelize(pts, size), method=self.model.encode
             )
         )
         self._encode_opt_cache = {}
@@ -140,30 +153,30 @@ class BlockCodec:
 
         if self.is_v2:
             self._decode_z = jax.jit(
-                lambda s: self.model.apply(
-                    self.params, s, method=self.model.decode_z
+                lambda params, s: self.model.apply(
+                    params, s, method=self.model.decode_z
                 )[1].astype(jnp.uint8)
             )
             self._decode_y = jax.jit(
-                lambda s: self.model.apply(self.params, s,
-                                           method=self.model.decode_y)
+                lambda params, s: self.model.apply(
+                    params, s, method=self.model.decode_y)
             )
             # decode + threshold + bitpack on device (decoded probability
             # grids are 256x bigger than the packed masks)
             self._decode_y_mask = jax.jit(
-                lambda s, thr: _mask_pack(
-                    self.model.apply(self.params, s,
+                lambda params, s, thr: _mask_pack(
+                    self.model.apply(params, s,
                                      method=self.model.decode_y), thr
                 )
             )
         else:
             self._decode = jax.jit(
-                lambda s: self.model.apply(self.params, s,
-                                           method=self.model.decode)
+                lambda params, s: self.model.apply(
+                    params, s, method=self.model.decode)
             )
             self._decode_mask = jax.jit(
-                lambda s, thr: _mask_pack(
-                    self.model.apply(self.params, s,
+                lambda params, s, thr: _mask_pack(
+                    self.model.apply(params, s,
                                      method=self.model.decode), thr
                 )
             )
@@ -216,7 +229,7 @@ class BlockCodec:
         """
         outs = []
         bs = self.batch_blocks
-        for lo in range(0, n, bs):
+        for k, lo in enumerate(range(0, n, bs)):
             hi = min(lo + bs, n)
             chunk = [a[lo:hi] for a in arrays]
             if hi - lo < bs:
@@ -226,7 +239,14 @@ class BlockCodec:
                     )
                     for c in chunk
                 ]
-            outs.append(fn(*[jnp.asarray(c) for c in chunk]))
+            if self.devices:
+                dev = self.devices[k % len(self.devices)]
+                params = self._params_per_dev[k % len(self.devices)]
+                chunk_dev = [jax.device_put(c, dev) for c in chunk]
+            else:
+                params = self.params
+                chunk_dev = [jnp.asarray(c) for c in chunk]
+            outs.append(fn(params, *chunk_dev))
         outs = jax.device_get(outs)
         stitched = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *outs)
         return jax.tree_util.tree_map(lambda a: a[:n], stitched)
@@ -267,20 +287,28 @@ class BlockCodec:
             return self._encode_opt_cache[key]
         from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
             select_thresholds_d1_batch,
+            select_thresholds_d1_pallas,
         )
 
         size = self.block_size
         thresholds = jnp.asarray(self.thresholds, jnp.float32)
+        backend = self.sweep_backend
 
-        def fn(pts):
+        def fn(params, pts):
             x = voxelize(pts, size)
-            out = self.model.apply(self.params, x, method=self.model.encode)
+            out = self.model.apply(params, x, method=self.model.encode)
             occ = x[..., 0]
             x_hat = out.pop("x_hat")[..., 0]
-            picks = select_thresholds_d1_batch(
-                occ, x_hat, thresholds, opt_metrics=opt_metrics,
-                max_deltas=max_deltas,
-            )  # [N, M]
+            if backend == "pallas":
+                picks = select_thresholds_d1_pallas(
+                    occ, x_hat, thresholds, opt_metrics=opt_metrics,
+                    max_deltas=max_deltas,
+                )
+            else:
+                picks = select_thresholds_d1_batch(
+                    occ, x_hat, thresholds, opt_metrics=opt_metrics,
+                    max_deltas=max_deltas,
+                )  # [N, M]
             masks = (
                 x_hat[:, None] > thresholds[picks][..., None, None, None]
             )  # [N, M, B, B, B]
@@ -418,11 +446,15 @@ class BlockCodec:
 
     # -- decode ------------------------------------------------------------
 
-    def decompress_blocks(self, payload):
+    def decompress_blocks(self, payload, return_debug=False):
         """payload: [(strings, threshold_idx), ...] → decoded point blocks.
 
         Thresholding and bit-packing happen on device; only 1-bit masks
-        cross back to the host.
+        cross back to the host. ``return_debug`` additionally returns the
+        decoded integer symbols — the decoder-side half of the
+        bit-exactness harness (the reference needed encoder-side dumps and
+        a 100-retry loop for this, ``decompress_octree.py:64-131``;
+        deterministic XLA executables make one comparison sufficient).
         """
         n = len(payload)
         bsz = self.block_size
@@ -475,4 +507,10 @@ class BlockCodec:
                 bsz, bsz, bsz
             )
             dec_blocks.append(np.argwhere(mask).astype(np.float32))
+        if return_debug:
+            debug = {"y_sym": y_syms, "packed_masks": packed}
+            if self.is_v2:
+                debug["z_sym"] = z_syms
+                debug["y_idx"] = dz
+            return dec_blocks, debug
         return dec_blocks

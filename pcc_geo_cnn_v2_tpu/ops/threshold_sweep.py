@@ -101,16 +101,9 @@ def _centroid_guard_metric(occ, dt_orig_at, metric):
     return m[metric]
 
 
-def select_thresholds_d1(occ, x_hat, thresholds, opt_metrics=("d1_mse",),
-                         max_deltas=(np.inf,), chunk=16):
-    """Best threshold index per (max_delta × opt_metric); one block, jittable.
-
-    Exactly mirrors ``utils/threshold.compute_optimal_thresholds`` for
-    d1 metrics: returns int32 [len(max_deltas) * len(opt_metrics)].
-    """
-    for m in opt_metrics:
-        assert m in D1_METRICS, f"{m} not supported on device"
-    sweep = d1_sweep(occ, x_hat, thresholds, chunk=chunk)
+def _select_from_sweep(sweep, occ, dt_orig, thresholds, opt_metrics,
+                       max_deltas):
+    """Selection semantics shared by the XLA and Pallas sweep backends."""
     counts = sweep["count"]
     T = thresholds.shape[0]
     max_idx = T - 1
@@ -125,7 +118,6 @@ def select_thresholds_d1(occ, x_hat, thresholds, opt_metrics=("d1_mse",),
     base_elig = tidx < first_empty
     any_base = jnp.any(base_elig)
 
-    dt_orig = squared_edt(jnp.asarray(occ, bool))
     picks = []
     for max_delta in max_deltas:
         if max_delta is None or not np.isfinite(max_delta):
@@ -144,6 +136,48 @@ def select_thresholds_d1(occ, x_hat, thresholds, opt_metrics=("d1_mse",),
             pick = jnp.where(any_base, pick, max_idx)
             picks.append(pick.astype(jnp.int32))
     return jnp.stack(picks)
+
+
+def select_thresholds_d1(occ, x_hat, thresholds, opt_metrics=("d1_mse",),
+                         max_deltas=(np.inf,), chunk=16):
+    """Best threshold index per (max_delta × opt_metric); one block, jittable.
+
+    Exactly mirrors ``utils/threshold.compute_optimal_thresholds`` for
+    d1 metrics: returns int32 [len(max_deltas) * len(opt_metrics)].
+    """
+    for m in opt_metrics:
+        assert m in D1_METRICS, f"{m} not supported on device"
+    sweep = d1_sweep(occ, x_hat, thresholds, chunk=chunk)
+    dt_orig = squared_edt(jnp.asarray(occ, bool))
+    return _select_from_sweep(sweep, occ, dt_orig, thresholds, opt_metrics,
+                              max_deltas)
+
+
+def select_thresholds_d1_pallas(occ_batch, x_hat_batch, thresholds,
+                                opt_metrics=("d1_mse",),
+                                max_deltas=(np.inf,), chunk=8,
+                                interpret=False):
+    """Batched selection using the Pallas sweep kernel backend.
+
+    Identical picks to :func:`select_thresholds_d1_batch`; far less HBM
+    traffic (see ``ops/pallas_sweep.py``).
+    """
+    from pcc_geo_cnn_v2_tpu.ops.pallas_sweep import d1_sweep_sums_pallas
+
+    for m in opt_metrics:
+        assert m in D1_METRICS, f"{m} not supported on device"
+    ab, ba, cnt, dt_orig = d1_sweep_sums_pallas(
+        x_hat_batch, occ_batch, thresholds, chunk=chunk, interpret=interpret
+    )
+    n_orig = jnp.sum(jnp.asarray(occ_batch, jnp.float32), axis=(1, 2, 3))
+
+    def per_block(ab_b, ba_b, cnt_b, n_b, occ_b, dt_b):
+        sweep = _metrics_from_sums(ab_b, ba_b, n_b, cnt_b)
+        sweep["count"] = cnt_b
+        return _select_from_sweep(sweep, occ_b, dt_b, thresholds,
+                                  opt_metrics, max_deltas)
+
+    return jax.vmap(per_block)(ab, ba, cnt, n_orig, occ_batch, dt_orig)
 
 
 def select_thresholds_d1_batch(occ_batch, x_hat_batch, thresholds,

@@ -146,3 +146,27 @@ def test_device_opt_path_matches_host_path():
         assert hm["idx"] == dm["idx"]
         for hb, db in zip(hm["x_hat_list"], dm["x_hat_list"]):
             np.testing.assert_array_equal(hb, db)
+
+
+def test_multi_device_codec_matches_single():
+    """Chunks round-robined over the 8-device CPU mesh must produce the
+    same bitstreams and decodes as single-device."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    pts = _random_cloud(9)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3, LEVEL)
+    cfg = dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+               synthesis="SynthesisTransformV1")
+    c_single = _init_codec(cfg)
+    c_multi = _init_codec(cfg, devices=jax.devices())
+    d1, m1 = c_single.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL)
+    d2, m2 = c_multi.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL)
+    assert [t for _, t in d1[0]] == [t for _, t in d2[0]]
+    assert [s for s, _ in d1[0]] == [s for s, _ in d2[0]]
+    dec1 = c_single.decompress_blocks(d1[0])
+    dec2 = c_multi.decompress_blocks(d2[0])
+    for a, b in zip(dec1, dec2):
+        np.testing.assert_array_equal(a, b)

@@ -131,3 +131,45 @@ def test_sweep_metrics_match_host_values():
         for key in ("d1_sum_AB", "d1_sum_BA", "d1_mse", "d1_mse_AB"):
             np.testing.assert_allclose(sweep[key][t_idx], ref[key],
                                        rtol=1e-5, err_msg=f"{key}@{t_idx}")
+
+
+def test_pallas_sweep_matches_xla(monkeypatch):
+    """Pallas kernel (interpret mode on CPU) must select identically."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+        select_thresholds_d1_pallas,
+    )
+
+    thresholds = jnp.asarray(np.linspace(0, 1.0, T), jnp.float32)
+    occs, xhats, singles = [], [], []
+    for seed in range(4):
+        _, occ, x_hat = _case(seed + 30)
+        occs.append(occ)
+        xhats.append(x_hat)
+        singles.append(
+            np.asarray(select_thresholds_d1(
+                jnp.asarray(occ), jnp.asarray(x_hat), thresholds,
+                opt_metrics=("d1_mse", "d1_mse_BA"),
+                max_deltas=(np.inf, 3.0),
+            ))
+        )
+    picks = np.asarray(select_thresholds_d1_pallas(
+        jnp.asarray(np.stack(occs)), jnp.asarray(np.stack(xhats)),
+        thresholds, opt_metrics=("d1_mse", "d1_mse_BA"),
+        max_deltas=(np.inf, 3.0), interpret=True,
+    ))
+    np.testing.assert_array_equal(picks, np.stack(singles))
+
+
+def test_pallas_sweep_degenerate_empty(monkeypatch):
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+        select_thresholds_d1_pallas,
+    )
+
+    _, occ, _ = _case(31)
+    x_hat = np.zeros((B, B, B), np.float32)
+    thresholds = jnp.asarray(np.linspace(0, 1.0, T), jnp.float32)
+    picks = np.asarray(select_thresholds_d1_pallas(
+        jnp.asarray(occ[None]), jnp.asarray(x_hat[None]), thresholds,
+        interpret=True,
+    ))
+    assert picks.tolist() == [[T - 1]]
