@@ -28,7 +28,9 @@ class Popen(subprocess.Popen):
 
 
 def _is_file(f):
-    return f is not None and f not in (sys.stdout, sys.stderr)
+    # exclude None, std streams, and the subprocess sentinels (ints)
+    return (f is not None and f not in (sys.stdout, sys.stderr)
+            and hasattr(f, "close"))
 
 
 def _close(f):

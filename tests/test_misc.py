@@ -1,0 +1,83 @@
+"""Smaller surfaces: mpeg_parsing via the pc_error stand-in, renders,
+bf16 transform path, parallel_process failure propagation."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pcc_geo_cnn_v2_tpu.utils import pc_io
+from pcc_geo_cnn_v2_tpu.utils.mpeg_parsing import parse_pcerror
+from pcc_geo_cnn_v2_tpu.utils.parallel_process import Popen, parallel_process
+
+
+def test_pc_error_standin_parses(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    p1 = np.unique(rng.integers(0, 64, (500, 3)), axis=0).astype(float)
+    jitter = rng.integers(-1, 2, p1.shape)
+    p2 = np.clip(p1 + jitter, 0, 63)
+    n = rng.normal(size=(len(p1), 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    a, b, nf = tmp_path / "a.ply", tmp_path / "b.ply", tmp_path / "n.ply"
+    pc_io.write_ply(a, p1)
+    pc_io.write_ply(b, p2)
+    pc_io.write_ply(nf, np.hstack([p1, n]),
+                    ["x", "y", "z", "nx", "ny", "nz"], dtypes=["f4"] * 6)
+
+    from pcc_geo_cnn_v2_tpu.cli.pc_error import main as pc_error_main
+
+    pc_error_main([f"--fileA={a}", f"--fileB={b}", f"--inputNorm={nf}",
+                   "--resolution=63"])
+    log = tmp_path / "pc_error.log"
+    log.write_text(capsys.readouterr().out)
+    parsed = parse_pcerror(log)
+    assert parsed["d1_psnr"] > 10 and np.isfinite(parsed["d2_psnr"])
+
+    from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
+
+    direct = compute_metrics(p1, p2, 63, p1_n=n)
+    np.testing.assert_allclose(parsed["d1_psnr"], direct["d1_psnr"],
+                               rtol=1e-6)
+
+
+def test_render_comparison(tmp_path):
+    from pcc_geo_cnn_v2_tpu.utils.render import render_comparison
+
+    rng = np.random.default_rng(1)
+    ori = rng.integers(0, 128, (2000, 3)).astype(float)
+    dec = np.clip(ori + rng.integers(-2, 3, ori.shape), 0, 127)
+    out = tmp_path / "cmp.png"
+    render_comparison(ori, dec, out)
+    assert out.stat().st_size > 10_000
+
+
+def test_bf16_transform_path():
+    import jax
+    import jax.numpy as jnp
+
+    from pcc_geo_cnn_v2_tpu.models.transforms import (
+        AnalysisTransformProgressiveV2,
+    )
+
+    m = AnalysisTransformProgressiveV2(8, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 16, 16, 16, 1), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    # params stay f32, compute in bf16
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    y = m.apply(params, x)
+    assert y.dtype == jnp.bfloat16 and y.shape == (1, 2, 2, 2, 8)
+
+
+def test_parallel_process_propagates_failure(tmp_path):
+    def launch(ret):
+        log = open(tmp_path / f"log{ret}.txt", "w")
+        return Popen([sys.executable, "-c",
+                      f"print('child says {ret}'); exit({ret})"],
+                     stdout=log, stderr=subprocess.STDOUT)
+
+    parallel_process(launch, [(0,), (0,)], 2, progress=False)
+    with pytest.raises(RuntimeError, match="child says 3"):
+        parallel_process(launch, [(0,), (3,)], 2, progress=False)
