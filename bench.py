@@ -107,7 +107,10 @@ def main():
             f"(loss {logs['loss']:.3f}, mbpov {logs['mbpov']:.3f})")
         params = jax.device_get(state.params)
 
-    codec = BlockCodec(model, params, block_size=64, batch_blocks=32)
+    codec = BlockCodec(
+        model, params, block_size=64, batch_blocks=32,
+        sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "auto"),
+    )
 
     # compile + warm both device paths (same shapes as the timed run)
     from pcc_geo_cnn_v2_tpu.ops.voxel import pack_points

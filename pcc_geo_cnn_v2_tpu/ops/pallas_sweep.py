@@ -35,29 +35,58 @@ from pcc_geo_cnn_v2_tpu.ops.edt import INF, squared_edt
 __all__ = ["d1_sweep_sums_pallas"]
 
 
-def _edt_via_scratch(scratch, size):
+def _edt_via_scratch(scratch, size, unroll=8):
     """Exact 3-D squared EDT of the field currently held in ``scratch``.
 
-    Each pass is a min-plus along the *major* axis (dynamic ref slices on
-    the majormost dim lower cleanly in Mosaic); the volume is rotated
-    (1,2,0) between passes, so three passes cover all axes and restore the
-    original orientation. Result is left in ``scratch``.
+    Three min-plus passes, one per axis, each slicing the source ref along
+    its own axis (no transposes — lane/sublane dynamic slices lower fine in
+    Mosaic and a broadcast is far cheaper than a full-volume shuffle).
+    Loops are unrolled to amortize loop/slice overhead. Result is left in
+    ``scratch``.
     """
-    i0 = jax.lax.broadcasted_iota(jnp.int32, (size, 1, 1), 0).astype(
-        jnp.float32
-    )
 
-    for _ in range(3):
-        def body(j, acc):
-            d2 = (i0 - j.astype(jnp.float32)) ** 2
-            col = scratch[pl.ds(j, 1), :, :]
-            return jnp.minimum(acc, col + d2)
+    def slice_pass(axis):
+        shape = [1, 1, 1]
+        shape[axis] = size
+        i0 = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis).astype(
+            jnp.float32
+        )
+
+        def body(jj, acc):
+            for u in range(unroll):
+                j = jj * unroll + u
+                d2 = (i0 - j.astype(jnp.float32)) ** 2
+                if axis == 0:
+                    col = scratch[pl.ds(j, 1), :, :]
+                else:
+                    col = scratch[:, pl.ds(j, 1), :]
+                acc = jnp.minimum(acc, col + d2)
+            return acc
 
         acc = jax.lax.fori_loop(
-            0, size, body,
+            0, size // unroll, body,
             jnp.full((size, size, size), INF, jnp.float32),
         )
-        scratch[...] = jnp.transpose(acc, (1, 2, 0))
+        scratch[...] = acc
+
+    def lane_pass():
+        # Mosaic cannot dynamic-slice the lane axis; lane *rotations* are a
+        # native op, so min over shifts ±k with edge masking instead.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+        g = scratch[...]
+        acc = g  # k = 0
+        for k in range(1, size):
+            k2 = jnp.float32(k * k)
+            left = pltpu.roll(g, size - k, 2)  # left[i] = g[i+k] (wraps)
+            acc = jnp.minimum(acc, jnp.where(lane < size - k,
+                                             left + k2, INF))
+            right = pltpu.roll(g, k, 2)  # right[i] = g[i-k]
+            acc = jnp.minimum(acc, jnp.where(lane >= k, right + k2, INF))
+        scratch[...] = acc
+
+    slice_pass(0)
+    slice_pass(1)
+    lane_pass()
 
 
 def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,

@@ -1,0 +1,88 @@
+"""RD validation sweep on synthetic data: trains c3p at several λ on TPU,
+compresses a held-out synthetic cloud at each, and checks the RD curve is
+monotone (higher λ → better D1 PSNR at higher bpp). A fast stand-in for the
+full ModelNet→MPEG validation until real datasets are mounted.
+
+Usage: python tools/rd_sweep.py [steps_per_lambda]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcc_geo_cnn_v2_tpu.codec import BlockCodec
+from pcc_geo_cnn_v2_tpu.models.configs import build_model
+from pcc_geo_cnn_v2_tpu.training import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+)
+from pcc_geo_cnn_v2_tpu.utils.data import BlockDataset, synthetic_blocks
+from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+LAMBDAS = [3e-5, 1e-4, 5e-4]
+
+
+def eval_cloud():
+    rng = np.random.default_rng(9)
+    v = rng.normal(size=(300_000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return np.unique(np.clip(np.round(v * 200 + 256), 0, 511), axis=0)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    pts = eval_cloud()
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [512] * 3, 3)
+    print(f"eval cloud: {len(pts)} pts, {len(blocks)} blocks", flush=True)
+    ds = BlockDataset(synthetic_blocks(192, block_size=64, seed=1),
+                      max_points=4096)
+    results = []
+    for lmbda in LAMBDAS:
+        model = build_model("c3p")
+        cfg = TrainConfig(block_size=64, batch_size=8, lmbda=lmbda)
+        state = create_train_state(model, jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(model, cfg)
+        it = ds.batches(cfg.batch_size, seed=0)
+        rng = jax.random.PRNGKey(1)
+        t0 = time.time()
+        for i in range(STEPS):
+            rng, k = jax.random.split(rng)
+            state, logs = step_fn(state, jnp.asarray(next(it)), k)
+        logs = jax.device_get(logs)
+        print(f"λ={lmbda:g}: trained {STEPS} steps in {time.time()-t0:.0f}s "
+              f"(mbpov {logs['mbpov']:.2f})", flush=True)
+        codec = BlockCodec(model, jax.device_get(state.params),
+                           block_size=64, batch_blocks=32)
+        data_list, meta = codec.compress_blocks_device_opt(
+            blocks, binstr, pts, 512, 3)
+        from pcc_geo_cnn_v2_tpu.coding.syntax import save_compressed_file
+        import gzip
+
+        raw = gzip.compress(
+            save_compressed_file(binstr, data_list[0], 512, 3))
+        bpp = len(raw) * 8 / len(pts)
+        psnr = meta[0]["metrics"]["d1_psnr"]
+        print(f"λ={lmbda:g}: {bpp:.3f} bpp @ {psnr:.2f} dB D1", flush=True)
+        results.append({"lmbda": lmbda, "bpp": bpp, "d1_psnr": psnr})
+
+    print(json.dumps(results, indent=2))
+    bpps = [r["bpp"] for r in results]
+    psnrs = [r["d1_psnr"] for r in results]
+    assert all(b2 > b1 for b1, b2 in zip(bpps, bpps[1:])), (
+        f"bpp not increasing with λ: {bpps}")
+    assert all(p2 > p1 for p1, p2 in zip(psnrs, psnrs[1:])), (
+        f"PSNR not increasing with λ: {psnrs}")
+    print("RD curve monotone: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
