@@ -56,11 +56,18 @@ def main():
     np.asarray(jnp.zeros((8,)))
     log(f"tunnel warmup {time.time()-t0:.0f}s")
 
-    # 10-bit synthetic cloud -> level-4 partition = 64^3 blocks
-    rng = np.random.default_rng(0)
-    v = rng.normal(size=(600_000, 3))
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    pts = np.unique(np.clip(np.round(v * 420 + 512), 0, 1023), axis=0)
+    # 10-bit synthetic cloud (composite surfaces, same family as the bench
+    # model's training data but unseen samples) -> level-4 = 64^3 blocks
+    from pcc_geo_cnn_v2_tpu.utils.data import _surface_patch
+
+    rng = np.random.default_rng(123)
+    parts = []
+    for kind in ["shell", "shell", "plane", "cylinder", "shell", "plane"]:
+        parts.append(_surface_patch(rng, 1024, kind))
+    pts = np.vstack(parts * 3)  # densify
+    pts = np.round(pts)
+    pts = pts[np.all((pts >= 0) & (pts < 1024), axis=1)]
+    pts = np.unique(pts, axis=0)
     blocks, binstr = partition_octree(pts, [0, 0, 0], [1024] * 3, 4)
     log(f"{len(pts)} points -> {len(blocks)} blocks of 64^3")
 
@@ -118,7 +125,9 @@ def main():
     budget = max(int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64)
     warm_pts, _ = pack_points(blocks[: codec.batch_blocks], max_points=budget)
     warm_out = jax.device_get(
-        codec._encode_opt_fn(("d1_mse",), (np.inf,))(jnp.asarray(warm_pts))
+        codec._encode_opt_fn(("d1_mse",), (np.inf,))(
+            codec.params, jnp.asarray(warm_pts)
+        )
     )
     payload_warm = [(codec.entropy_encode(warm_out, i), 128) for i in range(2)]
     _ = codec.decompress_blocks(payload_warm)

@@ -31,6 +31,26 @@ def bits_per_occupied_voxel(likelihoods, num_occupied):
     return jnp.sum(jnp.log(likelihoods)) / (-np.log(2) * num_occupied)
 
 
+def binary_classification_metrics(x, x_tilde):
+    """Precision/recall/accuracy/specificity/F1 on rounded occupancy
+    (reference ``model_types.py:90-105``)."""
+    xq = jnp.round(jnp.clip(x, 0, 1))
+    xtq = jnp.round(jnp.clip(x_tilde, 0, 1))
+    tp = jnp.sum(xtq * xq)
+    tn = jnp.sum((1 - xtq) * (1 - xq))
+    fp = jnp.sum(xtq * (1 - xq))
+    fn = jnp.sum((1 - xtq) * xq)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    return {
+        "bc_precision": precision,
+        "bc_recall": recall,
+        "bc_accuracy": (tp + tn) / (tp + tn + fp + fn),
+        "bc_specificity": tn / (tn + fp),
+        "bc_f1": 2 * precision * recall / (precision + recall),
+    }
+
+
 def rd_loss(x, x_tilde, likelihoods_list, lmbda, gamma=2.0, alpha=0.9):
     """λ·focal + Σ mbpov — the reference's training objective.
 
@@ -46,4 +66,5 @@ def rd_loss(x, x_tilde, likelihoods_list, lmbda, gamma=2.0, alpha=0.9):
             "num_occupied_voxels": num_occupied}
     for name, v in zip(("mbpov_y", "mbpov_z"), mbpovs):
         logs[name] = v
+    logs.update(binary_classification_metrics(x, x_tilde))
     return loss, logs

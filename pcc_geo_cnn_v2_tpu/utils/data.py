@@ -58,32 +58,66 @@ def train_val_split_by_dir(paths, val_tokens=("_val", "/val")):
     return train, val
 
 
+def _surface_patch(rng, block_size, kind):
+    """Sample one surface-like primitive clipped to the block."""
+    n = 5000
+    if kind == "shell":  # ellipsoid shell
+        center = rng.uniform(-0.2, 1.2, 3) * block_size
+        radii = rng.uniform(0.3, 1.6, 3) * block_size
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = center + v * radii
+    elif kind == "plane":  # random oriented rough plane
+        normal = rng.normal(size=3)
+        normal /= np.linalg.norm(normal)
+        basis = np.linalg.qr(rng.normal(size=(3, 3)))[0][:, :2]
+        uv = rng.uniform(-1.0, 1.0, (n, 2)) * block_size
+        bend = np.sin(uv[:, :1] * rng.uniform(0.05, 0.3)) * rng.uniform(
+            0, 0.15) * block_size
+        pts = (block_size / 2 + uv @ basis.T
+               + (bend + rng.normal(0, 0.3, (n, 1))) * normal)
+    elif kind == "cylinder":
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        radius = rng.uniform(0.1, 0.5) * block_size
+        t = rng.uniform(-1, 1, (n, 1)) * block_size
+        theta = rng.uniform(0, 2 * np.pi, n)
+        u = np.linalg.qr(np.column_stack([axis, rng.normal(size=(3, 2))]))[0]
+        circ = (np.cos(theta)[:, None] * u[:, 1]
+                + np.sin(theta)[:, None] * u[:, 2]) * radius
+        pts = block_size / 2 + t * axis + circ
+    else:  # uniform noise
+        pts = rng.uniform(0, block_size, (n // 8, 3))
+    return pts
+
+
 def synthetic_blocks(n_blocks, block_size=64, seed=0, kind="shell"):
     """Procedural occupancy blocks for tests/benchmarks (no dataset needed).
 
-    'shell': random spherical-surface patches (surface-like statistics,
-    similar occupancy ratios to ModelNet blocks); 'uniform': sparse noise.
+    'shell'/'plane'/'cylinder'/'uniform' draw one primitive each; 'mix'
+    composites 1-3 random primitives per block — diverse enough that a
+    codec cannot memorize the geometry (latents must carry information),
+    with surface-like occupancy ratios similar to ModelNet blocks.
     """
     rng = np.random.default_rng(seed)
     blocks = []
+    kinds = ["shell", "plane", "cylinder"]
     for _ in range(n_blocks):
-        if kind == "shell":
-            center = rng.uniform(-0.2, 1.2, 3) * block_size
-            radius = rng.uniform(0.4, 1.6) * block_size
-            n = 4000
-            v = rng.normal(size=(n, 3))
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            pts = np.round(center + v * radius)
-            ok = np.all((pts >= 0) & (pts < block_size), axis=1)
-            pts = np.unique(pts[ok], axis=0)
-            if len(pts) < 10:  # degenerate draw: fall back to noise
-                pts = np.unique(
-                    rng.integers(0, block_size, (200, 3)), axis=0
-                )
+        if kind == "mix":
+            parts = [
+                _surface_patch(rng, block_size,
+                               kinds[rng.integers(len(kinds))])
+                for _ in range(rng.integers(1, 4))
+            ]
+            if rng.random() < 0.3:
+                parts.append(_surface_patch(rng, block_size, "uniform"))
+            pts = np.vstack(parts)
         else:
-            pts = np.unique(
-                rng.integers(0, block_size, (rng.integers(50, 2000), 3)),
-                axis=0,
-            )
+            pts = _surface_patch(rng, block_size, kind)
+        pts = np.round(pts)
+        ok = np.all((pts >= 0) & (pts < block_size), axis=1)
+        pts = np.unique(pts[ok], axis=0)
+        if len(pts) < 10:  # degenerate draw: fall back to noise
+            pts = np.unique(rng.integers(0, block_size, (200, 3)), axis=0)
         blocks.append(pts.astype(np.int32))
     return blocks

@@ -34,12 +34,11 @@ OUT = Path(__file__).resolve().parent.parent / (
 def main():
     print("devices:", jax.devices(), flush=True)
     model = build_model("c3p")
-    cfg = TrainConfig(block_size=64, batch_size=8, lmbda=1e-4)
+    cfg = TrainConfig(block_size=64, batch_size=8, lmbda=5e-4)
     state = create_train_state(model, jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(model, cfg)
-    blocks = (synthetic_blocks(192, block_size=64, seed=1, kind="shell")
-              + synthetic_blocks(64, block_size=64, seed=2, kind="uniform"))
-    ds = BlockDataset(blocks, max_points=4096)
+    blocks = synthetic_blocks(512, block_size=64, seed=1, kind="mix")
+    ds = BlockDataset(blocks, max_points=8192)
     it = ds.batches(cfg.batch_size, seed=0)
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
