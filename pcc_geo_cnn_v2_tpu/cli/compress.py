@@ -84,14 +84,17 @@ def main(argv=None):
         ]
         points = [np.hstack((p, n)) for p, n in zip(points, normals)]
 
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import D2_METRICS
+
     use_device = (
         args.threshold_mode != "host"
         and not args.fixed_threshold
-        and not with_normals
-        and all(m in D1_METRICS for m in args.opt_metrics)
+        and all(m in D1_METRICS + D2_METRICS for m in args.opt_metrics)
+        and (with_normals or all(m in D1_METRICS
+                                 for m in args.opt_metrics))
     )
     if args.threshold_mode == "device":
-        assert use_device, "device sweep needs d1 metrics and no normals"
+        assert use_device, "device sweep needs d1/d2 metrics"
 
     for i, (infile, pts) in enumerate(zip(args.input_files, points)):
         blocks, binstr = partition_octree(
@@ -104,6 +107,7 @@ def main(argv=None):
                 blocks, binstr, pts, args.resolution, args.octree_level,
                 opt_metrics=tuple(args.opt_metrics),
                 max_deltas=tuple(args.max_deltas),
+                with_normals=with_normals,
             )
         else:
             data_list, metadata = codec.compress_blocks(

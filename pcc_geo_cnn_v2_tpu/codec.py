@@ -276,30 +276,42 @@ class BlockCodec:
                              self.eb_table)
         return (y_string,)
 
-    def _encode_opt_fn(self, opt_metrics, max_deltas):
+    def _encode_opt_fn(self, opt_metrics, max_deltas, with_normals=False):
         """Jitted encode + on-device threshold sweep + bit-packed masks.
 
         Returns (symbols..., picks [N, M], packed_masks [N, M, B³/8]);
-        the float probability grids never leave the device.
+        the float probability grids never leave the device. With normals,
+        d2_* metrics sweep on device too (argmin-carrying EDTs).
         """
-        key = (tuple(opt_metrics), tuple(max_deltas))
+        key = (tuple(opt_metrics), tuple(max_deltas), with_normals)
         if key in self._encode_opt_cache:
             return self._encode_opt_cache[key]
         from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
             select_thresholds_d1_batch,
             select_thresholds_d1_pallas,
+            select_thresholds_device,
         )
+        from pcc_geo_cnn_v2_tpu.ops.voxel import voxelize_attrs
 
         size = self.block_size
         thresholds = jnp.asarray(self.thresholds, jnp.float32)
         backend = self.sweep_backend
 
-        def fn(params, pts):
+        def fn(params, pts, normals=None):
             x = voxelize(pts, size)
             out = self.model.apply(params, x, method=self.model.encode)
             occ = x[..., 0]
             x_hat = out.pop("x_hat")[..., 0]
-            if backend == "pallas":
+            if with_normals:
+                ngrid = voxelize_attrs(pts, normals, size)
+                picks = jax.lax.map(
+                    lambda args: select_thresholds_device(
+                        args[0], args[1], thresholds, normals=args[2],
+                        opt_metrics=opt_metrics, max_deltas=max_deltas,
+                    ),
+                    (occ, x_hat, ngrid),
+                )
+            elif backend == "pallas":
                 picks = select_thresholds_d1_pallas(
                     occ, x_hat, thresholds, opt_metrics=opt_metrics,
                     max_deltas=max_deltas,
@@ -327,25 +339,36 @@ class BlockCodec:
 
     def compress_blocks_device_opt(self, blocks, binstr, points, resolution,
                                    level, opt_metrics=("d1_mse",),
-                                   max_deltas=(np.inf,)):
-        """Encoder with the fused on-device threshold sweep (d1 metrics).
+                                   max_deltas=(np.inf,), with_normals=False):
+        """Encoder with the fused on-device threshold sweep.
 
         Same outputs as :meth:`compress_blocks`; ~256 host KD-tree metric
-        evaluations per block collapse into the jitted device pass.
+        evaluations per block collapse into the jitted device pass. With
+        normals (blocks carry nx,ny,nz columns) d2_* metrics are supported.
         """
         import time
 
-        from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import D1_METRICS
+        from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+            D1_METRICS,
+            D2_METRICS,
+        )
+        from pcc_geo_cnn_v2_tpu.ops.voxel import pack_attrs
 
-        assert all(m in D1_METRICS for m in opt_metrics), opt_metrics
+        assert all(m in D1_METRICS + D2_METRICS for m in opt_metrics)
+        if not with_normals:
+            assert all(m in D1_METRICS for m in opt_metrics), opt_metrics
         n = len(blocks)
         budget = max(
             int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
         )
         pts_packed, _ = pack_points(blocks, max_points=budget)
+        arrays = [pts_packed]
+        if with_normals:
+            arrays.append(pack_attrs(blocks, [3, 4, 5], budget))
         t0 = time.time()
         out = self._run_chunked(
-            self._encode_opt_fn(opt_metrics, max_deltas), [pts_packed], n
+            self._encode_opt_fn(opt_metrics, max_deltas, with_normals),
+            arrays, n,
         )
         t_device = time.time() - t0
         assert int(np.sum(out["sym_overflow"])) == 0, "int16 symbol overflow"
@@ -378,7 +401,7 @@ class BlockCodec:
         t0 = time.time()
         metadata = select_best_per_opt_metric(
             binstr, x_hat_points, level, opt_names, points, resolution,
-            with_normals=False,
+            with_normals=with_normals,
         )
         t_select = time.time() - t0
         logger.info(

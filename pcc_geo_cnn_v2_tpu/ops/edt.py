@@ -16,9 +16,10 @@ in float32.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["INF", "squared_edt", "minplus_1d"]
+__all__ = ["INF", "squared_edt", "minplus_1d", "squared_edt_argmin"]
 
 INF = 1e12
 
@@ -44,3 +45,53 @@ def squared_edt(occ):
     for ax in (-3, -2, -1):
         g = minplus_1d(g, ax)
     return g
+
+
+def _minplus_1d_arg(g, carry, axis):
+    """Min-plus pass that also gathers per-position carried values.
+
+    :param g: [..., L] distances.
+    :param carry: list of arrays shaped like g, gathered at each
+        position's argmin source.
+    :return: (g', carry') — ties take the smallest source index (matches
+        jnp.argmin; KD-tree tie order differs, which the reference itself
+        documents as acceptable for D2, pc_metric.py:114).
+    """
+    gm = jnp.moveaxis(g, axis, -1)
+    L = gm.shape[-1]
+    i = jnp.arange(L, dtype=gm.dtype)
+    d2 = (i[:, None] - i[None, :]) ** 2  # [out, in]
+    scores = gm[..., None, :] + d2  # [..., out, in]
+    j_star = jnp.argmin(scores, axis=-1)  # [..., out]
+    out_g = jnp.take_along_axis(scores, j_star[..., None], axis=-1)[..., 0]
+    outs = []
+    for c in carry:
+        cm = jnp.moveaxis(c, axis, -1)
+        picked = jnp.take_along_axis(
+            jnp.broadcast_to(cm[..., None, :], scores.shape),
+            j_star[..., None], axis=-1,
+        )[..., 0]
+        outs.append(jnp.moveaxis(picked, -1, axis))
+    return jnp.moveaxis(out_g, -1, axis), outs
+
+
+def squared_edt_argmin(occ):
+    """Squared EDT plus the coordinates of the nearest occupied voxel.
+
+    :param occ: [..., X, Y, Z] occupancy.
+    :return: (dist [..., X, Y, Z] f32, nn [..., X, Y, Z, 3] int32).
+    """
+    occ_b = jnp.asarray(occ, bool)
+    shape = occ_b.shape[-3:]
+    g = jnp.where(occ_b, 0.0, INF).astype(jnp.float32)
+    coords = [
+        jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.float32, shape, k), occ_b.shape
+        )
+        for k in range(3)
+    ]
+    carry = coords
+    for ax in (-3, -2, -1):
+        g, carry = _minplus_1d_arg(g, carry, ax)
+    nn = jnp.stack([c.astype(jnp.int32) for c in carry], axis=-1)
+    return g, nn

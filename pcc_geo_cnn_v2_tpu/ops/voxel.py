@@ -13,7 +13,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pack_points", "voxelize", "devoxelize_host"]
+__all__ = ["pack_points", "pack_attrs", "voxelize", "voxelize_attrs",
+           "devoxelize_host"]
+
+
+def pack_attrs(blocks, cols, max_points, dtype=np.float32):
+    """Pad per-point attribute columns (e.g. normals) like pack_points."""
+    n = len(blocks)
+    width = len(cols)
+    out = np.zeros((n, max_points, width), dtype)
+    for i, b in enumerate(blocks):
+        b = np.asarray(b)
+        m = min(len(b), max_points)
+        out[i, :m] = b[:m, cols]
+    return out
 
 
 def pack_points(blocks, max_points=None, dtype=np.int32):
@@ -51,6 +64,23 @@ def voxelize(points: jax.Array, size: int) -> jax.Array:
         batch_idx, points[..., 0], points[..., 1], points[..., 2]
     ].max(1.0, mode="drop")
     return grid[..., None]
+
+
+def voxelize_attrs(points: jax.Array, attrs: jax.Array, size: int) -> jax.Array:
+    """Scatter per-point attributes onto the grid (points are unique voxels).
+
+    :param points: [N, P, 3] int32 (padding < 0 dropped).
+    :param attrs: [N, P, A] float attribute rows.
+    :return: [N, size, size, size, A] float32.
+    """
+    n, p, a = attrs.shape
+    points = jnp.where(points < 0, size, points)
+    batch_idx = jnp.broadcast_to(jnp.arange(n, dtype=points.dtype)[:, None],
+                                 (n, p))
+    grid = jnp.zeros((n, size, size, size, a), jnp.float32)
+    return grid.at[
+        batch_idx, points[..., 0], points[..., 1], points[..., 2]
+    ].add(attrs.astype(jnp.float32), mode="drop")
 
 
 def devoxelize_host(grid: np.ndarray, threshold: float) -> np.ndarray:

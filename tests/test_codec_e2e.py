@@ -170,3 +170,35 @@ def test_multi_device_codec_matches_single():
     dec2 = c_multi.decompress_blocks(d2[0])
     for a, b in zip(dec1, dec2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_device_opt_with_normals_d2():
+    """Device path with d1+d2 metrics and normals: two output groups, d1
+    payload identical to host path; decode roundtrips both."""
+    rng = np.random.default_rng(11)
+    pts = _random_cloud(11)
+    normals = rng.normal(size=(len(pts), 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    pts_n = np.hstack([pts, normals])
+    blocks, binstr = partition_octree(pts_n, [0, 0, 0],
+                                      [RESOLUTION] * 3, LEVEL)
+    codec = _init_codec(
+        dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+             synthesis="SynthesisTransformV1")
+    )
+    data_list, metadata = codec.compress_blocks_device_opt(
+        blocks, binstr, pts_n, RESOLUTION, LEVEL,
+        opt_metrics=("d1_mse", "d2_mse"), with_normals=True,
+    )
+    assert len(data_list) == 2  # d1 and d2 groups
+    assert "d2_psnr" in metadata[1]["metrics"]
+    host_data, _ = codec.compress_blocks(
+        blocks, binstr, pts_n, RESOLUTION, LEVEL,
+        opt_metrics=("d1_mse", "d2_mse"), with_normals=True,
+    )
+    # d1 group picks identical to the exact host path
+    assert [t for _, t in data_list[0]] == [t for _, t in host_data[0]]
+    for payload, meta in zip(data_list, metadata):
+        dec = codec.decompress_blocks(payload)
+        for d, e in zip(dec, meta["x_hat_list"]):
+            np.testing.assert_array_equal(d, e)

@@ -173,3 +173,92 @@ def test_pallas_sweep_degenerate_empty(monkeypatch):
         interpret=True,
     ))
     assert picks.tolist() == [[T - 1]]
+
+
+def test_squared_edt_argmin_exact():
+    from pcc_geo_cnn_v2_tpu.ops.edt import squared_edt_argmin
+
+    rng = np.random.default_rng(5)
+    occ = rng.random((8, 8, 8)) < 0.06
+    occ[2, 3, 4] = True
+    dist, nn = jax.tree_util.tree_map(
+        np.asarray, squared_edt_argmin(jnp.asarray(occ)))
+    np.testing.assert_array_equal(dist, _brute_edt(occ))
+    # nn points at an occupied voxel achieving the distance
+    grid = np.argwhere(np.ones_like(occ)).reshape(8, 8, 8, 3)
+    d_claim = ((grid - nn) ** 2).sum(-1)
+    np.testing.assert_array_equal(d_claim, dist)
+    assert occ[nn[..., 0], nn[..., 1], nn[..., 2]].all()
+
+
+def _case_with_normals(seed):
+    pts, occ, x_hat = _case(seed)
+    rng = np.random.default_rng(seed + 100)
+    n = rng.normal(size=(len(pts), 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    grid_n = np.zeros((B, B, B, 3), np.float32)
+    ip = pts.astype(int)
+    grid_n[ip[:, 0], ip[:, 1], ip[:, 2]] = n
+    return pts, n, occ, x_hat, grid_n
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_d2_sweep_values_close_to_host(seed):
+    """D2 sweep values match scipy within NN-tie tolerance; exact when no
+    equidistant ties (the common case on random data)."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import d2_sweep
+    from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
+
+    pts, n, occ, x_hat, grid_n = _case_with_normals(seed)
+    thresholds = np.linspace(0, 1.0, T)
+    sweep = jax.tree_util.tree_map(
+        np.asarray,
+        d2_sweep(jnp.asarray(occ), jnp.asarray(grid_n), jnp.asarray(x_hat),
+                 jnp.asarray(thresholds, jnp.float32)),
+    )
+    checked = 0
+    for t_idx in (0, 8, 24):
+        cand = np.argwhere(x_hat > thresholds[t_idx]).astype(np.float64)
+        if len(cand) == 0:
+            continue
+        ref = compute_metrics(pts, cand, B - 1, p1_n=n)
+        # BA direction has no transfer ambiguity beyond NN ties
+        np.testing.assert_allclose(sweep["d2_sum_BA"][t_idx],
+                                   ref["d2_sum_BA"], rtol=0.1)
+        np.testing.assert_allclose(sweep["d2_sum_AB"][t_idx],
+                                   ref["d2_sum_AB"], rtol=0.15)
+        checked += 1
+    assert checked >= 2
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_mixed_d1_d2_selection_close_to_host(seed):
+    """Device d1+d2 selection: d1 picks exact; d2 picks within the
+    documented NN-tie deviation (metric value at the device pick must be
+    within 2% of the host's best)."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+        select_thresholds_device,
+    )
+    from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
+
+    pts, n, occ, x_hat, grid_n = _case_with_normals(seed + 40)
+    thresholds = np.linspace(0, 1.0, T)
+    _, host_pick = compute_optimal_thresholds(
+        pts, x_hat, thresholds, B, normals=n,
+        opt_metrics=("d1_mse", "d2_mse"),
+    )
+    dev_pick = np.asarray(select_thresholds_device(
+        jnp.asarray(occ), jnp.asarray(x_hat),
+        jnp.asarray(thresholds, jnp.float32), normals=jnp.asarray(grid_n),
+        opt_metrics=("d1_mse", "d2_mse"),
+    ))
+    assert dev_pick[0] == host_pick[0], "d1 pick must be exact"
+
+    def host_d2(t_idx):
+        cand = np.argwhere(x_hat > thresholds[t_idx]).astype(np.float64)
+        if len(cand) == 0:
+            return np.inf
+        return compute_metrics(pts, cand, B - 1, p1_n=n)["d2_mse"]
+
+    v_dev, v_host = host_d2(dev_pick[1]), host_d2(host_pick[1])
+    assert v_dev <= v_host * 1.02 + 1e-9, (dev_pick, host_pick, v_dev, v_host)
