@@ -44,14 +44,15 @@ def plot_rd(curves, title, ylabel, out_path):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from pcc_geo_cnn_v2_tpu.utils.plots import set_paper_style, style_cycle
+
+    set_paper_style()
     fig, ax = plt.subplots(figsize=(5, 4))
-    for (mode, pts), marker in zip(
-        sorted(curves.items()),
-        "osv^D<>ph*" * 10,
-    ):
+    for (mode, pts), (marker, ls) in zip(sorted(curves.items()),
+                                         style_cycle()):
         arr = np.array(pts)
-        ax.plot(arr[:, 0], arr[:, 1], marker=marker, markersize=4,
-                label=mode)
+        ax.plot(arr[:, 0], arr[:, 1], marker=marker, linestyle=ls,
+                markersize=4, label=mode)
     ax.set_xlabel("bits per input point")
     ax.set_ylabel(ylabel)
     ax.set_title(title)

@@ -42,6 +42,19 @@ def main(argv=None):
                 logger.warning("no %s reports for %s", metric,
                                data["pc_name"])
 
+    # shared legend strip for the per-PC RD plot grid
+    # (reference ev_run_compare.py:76-102)
+    if not args.no_plot:
+        modes = set()
+        for p in sorted(results.glob("*_data.csv")):
+            modes.update(pd.read_csv(p)["mode_id"].unique())
+        if modes:
+            from pcc_geo_cnn_v2_tpu.utils.plots import (
+                render_standalone_legend,
+            )
+
+            render_standalone_legend(sorted(modes), results / "legend.png")
+
     # merge
     for kind in ("data", "bdrate", "bdsnr"):
         parts = sorted(results.glob(f"*_{kind}.csv"))

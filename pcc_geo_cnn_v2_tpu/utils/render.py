@@ -73,14 +73,25 @@ def error_colormap(points, reference_points, cmap="inferno", vmax=None):
 
 
 def render_comparison(ori_points, dec_points, out_png, axis=2,
-                      img_size=1024):
-    """Side-by-side original/decoded render + error map + histogram."""
+                      img_size=1024, with_colorbar=True):
+    """Side-by-side original/decoded render + error map + histogram.
+
+    ``with_colorbar`` also writes ``<out_png>.colorbar.png`` — the
+    standalone error-scale strip the reference pairs with its error-map
+    renders (``ut_run_render.py:149-251`` + ``colorbar.py``).
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     colors, err, vmax = error_colormap(dec_points, ori_points)
+    if with_colorbar:
+        from pcc_geo_cnn_v2_tpu.utils.plots import make_colorbar
+
+        cb_fig, _ = make_colorbar(vmax)
+        cb_fig.savefig(str(out_png) + ".colorbar.png", dpi=200)
+        plt.close(cb_fig)
     fig, axs = plt.subplots(1, 3, figsize=(13, 4.5))
     axs[0].imshow(ortho_render(ori_points, axis=axis, img_size=img_size))
     axs[0].set_title(f"original ({len(ori_points)} pts)")

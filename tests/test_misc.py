@@ -81,3 +81,43 @@ def test_parallel_process_propagates_failure(tmp_path):
     parallel_process(launch, [(0,), (0,)], 2, progress=False)
     with pytest.raises(RuntimeError, match="child says 3"):
         parallel_process(launch, [(0,), (3,)], 2, progress=False)
+
+
+def test_plots_utils(tmp_path):
+    from pcc_geo_cnn_v2_tpu.utils.plots import (
+        make_colorbar,
+        render_standalone_legend,
+        set_paper_style,
+        style_cycle,
+    )
+
+    set_paper_style()
+    pairs = [next(c) for c in [style_cycle()] for _ in range(45)]
+    assert len(set(pairs)) == 40  # 10 markers x 4 linestyles before repeat
+    legend = tmp_path / "legend.png"
+    render_standalone_legend(["c1", "c3p", "trisoup"], legend)
+    assert legend.stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    fig, cmap_fn = make_colorbar(2.0)
+    rgb = cmap_fn([0.0, 1.0, 2.0])
+    assert rgb.shape == (3, 3) and np.all((rgb >= 0) & (rgb <= 1))
+    plt.close(fig)
+
+
+def test_pc_to_camera_params_auto(tmp_path):
+    import json
+
+    from pcc_geo_cnn_v2_tpu.cli.pc_to_camera_params import main as cam_main
+
+    pts = np.random.default_rng(0).uniform(0, 255, (500, 3)).round()
+    ply = tmp_path / "in.ply"
+    pc_io.write_ply(ply, pts)
+    out = tmp_path / "cam.json"
+    cam_main([str(ply), str(out), "--auto"])
+    params = json.loads(out.read_text())
+    assert params["class_name"] == "PinholeCameraParameters"
+    assert len(params["extrinsic"]) == 16
+    ext = np.array(params["extrinsic"]).reshape(4, 4).T
+    rot = ext[:3, :3]
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-9)
