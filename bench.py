@@ -63,9 +63,8 @@ def main():
     rng = np.random.default_rng(123)
     parts = []
     for kind in ["shell", "shell", "plane", "cylinder", "shell", "plane"]:
-        parts.append(_surface_patch(rng, 1024, kind))
-    pts = np.vstack(parts * 3)  # densify
-    pts = np.round(pts)
+        parts.append(_surface_patch(rng, 1024, kind, n=400_000))
+    pts = np.round(np.vstack(parts))
     pts = pts[np.all((pts >= 0) & (pts < 1024), axis=1)]
     pts = np.unique(pts, axis=0)
     blocks, binstr = partition_octree(pts, [0, 0, 0], [1024] * 3, 4)
@@ -114,23 +113,15 @@ def main():
             f"(loss {logs['loss']:.3f}, mbpov {logs['mbpov']:.3f})")
         params = jax.device_get(state.params)
 
+    # default the sweep to XLA: the pallas kernel currently compiles
+    # pathologically slowly through the remote-TPU compile service
     codec = BlockCodec(
         model, params, block_size=64, batch_blocks=32,
-        sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "auto"),
+        sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "xla"),
     )
 
-    # compile + warm both device paths (same shapes as the timed run)
-    from pcc_geo_cnn_v2_tpu.ops.voxel import pack_points
-
-    budget = max(int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64)
-    warm_pts, _ = pack_points(blocks[: codec.batch_blocks], max_points=budget)
-    warm_out = jax.device_get(
-        codec._encode_opt_fn(("d1_mse",), (np.inf,))(
-            codec.params, jnp.asarray(warm_pts)
-        )
-    )
-    payload_warm = [(codec.entropy_encode(warm_out, i), 128) for i in range(2)]
-    _ = codec.decompress_blocks(payload_warm)
+    # compile + warm every executable (same shapes as the timed run)
+    codec.warmup(blocks)
     log("warmup done")
 
     t0 = time.time()

@@ -253,6 +253,45 @@ class BlockCodec:
 
     # -- encode ------------------------------------------------------------
 
+    def warmup(self, blocks, opt_metrics=("d1_mse",), max_deltas=(np.inf,),
+               with_normals=False):
+        """Compile + run every executable of the codec path on one chunk.
+
+        Uses the full block list only to reproduce the point-budget the
+        real run will pack with (budget changes the executable shape).
+        """
+        budget = max(
+            int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
+        )
+        sub, _ = pack_points(blocks[: self.batch_blocks], max_points=budget)
+        if len(sub) < self.batch_blocks:  # same padding as _run_chunked
+            sub = np.concatenate(
+                [sub, np.zeros((self.batch_blocks - len(sub),)
+                               + sub.shape[1:], sub.dtype)]
+            )
+        arrays = [jnp.asarray(sub)]
+        if with_normals:
+            from pcc_geo_cnn_v2_tpu.ops.voxel import pack_attrs
+
+            nrm = pack_attrs(blocks[: self.batch_blocks], [3, 4, 5], budget)
+            if len(nrm) < self.batch_blocks:
+                nrm = np.concatenate(
+                    [nrm, np.zeros((self.batch_blocks - len(nrm),)
+                                   + nrm.shape[1:], nrm.dtype)]
+                )
+            arrays.append(jnp.asarray(nrm))
+        out = jax.device_get(
+            self._encode_opt_fn(opt_metrics, max_deltas, with_normals)(
+                self.params, *arrays
+            )
+        )
+        if self.is_v2:
+            out["y_idx"] = jax.device_get(
+                self._decode_z(self.params, out["z_sym"])
+            )
+        payload = [(self.entropy_encode(out, i), 128) for i in range(2)]
+        self.decompress_blocks(payload)
+
     def encode_blocks(self, blocks):
         """Device pass: blocks → integer symbols (+ x_hat probabilities)."""
         n = len(blocks)
@@ -277,11 +316,11 @@ class BlockCodec:
         return (y_string,)
 
     def _encode_opt_fn(self, opt_metrics, max_deltas, with_normals=False):
-        """Jitted encode + on-device threshold sweep + bit-packed masks.
+        """Jitted encode + on-device threshold sweep.
 
-        Returns (symbols..., picks [N, M], packed_masks [N, M, B³/8]);
-        the float probability grids never leave the device. With normals,
-        d2_* metrics sweep on device too (argmin-carrying EDTs).
+        Returns (symbols..., picks [N, M]); the float probability grids
+        never leave the device. With normals, d2_* metrics sweep on device
+        too (argmin-carrying EDTs).
         """
         key = (tuple(opt_metrics), tuple(max_deltas), with_normals)
         if key in self._encode_opt_cache:
@@ -321,16 +360,14 @@ class BlockCodec:
                     occ, x_hat, thresholds, opt_metrics=opt_metrics,
                     max_deltas=max_deltas,
                 )  # [N, M]
-            masks = (
-                x_hat[:, None] > thresholds[picks][..., None, None, None]
-            )  # [N, M, B, B, B]
-            n = masks.shape[0]
-            m = masks.shape[1]
-            packed = jnp.packbits(
-                masks.reshape(n, m, -1), axis=-1, bitorder="big"
-            )
+            # y_idx and the reconstruction masks are NOT taken from this
+            # fused executable: XLA fuses the decode path differently here
+            # than in the decoder's own executables, and one-ulp drift near
+            # a CDF-index or threshold boundary would corrupt the stream /
+            # flip voxels. The driver reruns the decoder executables on the
+            # symbols instead (bit-exact by construction).
+            out.pop("y_idx", None)
             out["picks"] = picks
-            out["packed_masks"] = packed
             return self._compact(out)
 
         jitted = jax.jit(fn)
@@ -373,22 +410,45 @@ class BlockCodec:
         t_device = time.time() - t0
         assert int(np.sum(out["sym_overflow"])) == 0, "int16 symbol overflow"
 
+        # Decoder-canonical passes: CDF-row indexes and the embedded
+        # reconstructions come from the SAME executables the decoder runs
+        # (same HLO → same fusion → bit-identical), the merged-decode
+        # guarantee the reference approximated with its retry loop
+        # (decompress_octree.py:64-131).
+        t0 = time.time()
+        opt_names = [f"{m}_{d}" for d in max_deltas for m in opt_metrics]
+        n_metrics = len(opt_names)
+        picks = np.asarray(out["picks"])
+        if self.is_v2:
+            out["y_idx"] = self._run_chunked(
+                self._decode_z, [out["z_sym"]], n
+            )
+        mask_fn = self._decode_y_mask if self.is_v2 else self._decode_mask
+        packed_by_metric = [
+            self._run_chunked(
+                mask_fn,
+                [out["y_sym"],
+                 self.thresholds[picks[:, m]].astype(np.float32)],
+                n,
+            )
+            for m in range(n_metrics)
+        ]
+        t_device += time.time() - t0
+
         t0 = time.time()
         with ThreadPoolExecutor(self.threads) as pool:
             strings_list = list(
                 pool.map(lambda i: self.entropy_encode(out, i), range(n))
             )
         t_entropy = time.time() - t0
-        opt_names = [f"{m}_{d}" for d in max_deltas for m in opt_metrics]
-        threshold_list = [list(map(int, row)) for row in out["picks"]]
+        threshold_list = [list(map(int, row)) for row in picks]
         bsz = self.block_size
-        n_metrics = len(opt_names)
         t0 = time.time()
 
         def _unpack(args):
             i, m = args
             return np.argwhere(
-                np.unpackbits(out["packed_masks"][i, m], bitorder="big")
+                np.unpackbits(packed_by_metric[m][i], bitorder="big")
                 .reshape(bsz, bsz, bsz)
             ).astype(np.float32)
 
@@ -427,6 +487,9 @@ class BlockCodec:
         """
         n = len(blocks)
         out = self.encode_blocks(blocks)
+        if self.is_v2:
+            # decoder-canonical CDF-row indexes (see compress_blocks_device_opt)
+            out["y_idx"] = self._run_chunked(self._decode_z, [out["z_sym"]], n)
 
         with ThreadPoolExecutor(self.threads) as pool:
             strings_list = list(

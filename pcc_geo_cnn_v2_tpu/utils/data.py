@@ -58,9 +58,8 @@ def train_val_split_by_dir(paths, val_tokens=("_val", "/val")):
     return train, val
 
 
-def _surface_patch(rng, block_size, kind):
+def _surface_patch(rng, block_size, kind, n=5000):
     """Sample one surface-like primitive clipped to the block."""
-    n = 5000
     if kind == "shell":  # ellipsoid shell
         center = rng.uniform(-0.2, 1.2, 3) * block_size
         radii = rng.uniform(0.3, 1.6, 3) * block_size
