@@ -113,11 +113,9 @@ def main():
             f"(loss {logs['loss']:.3f}, mbpov {logs['mbpov']:.3f})")
         params = jax.device_get(state.params)
 
-    # default the sweep to XLA: the pallas kernel currently compiles
-    # pathologically slowly through the remote-TPU compile service
     codec = BlockCodec(
         model, params, block_size=64, batch_blocks=32,
-        sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "xla"),
+        sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "auto"),
     )
 
     # compile + warm every executable (same shapes as the timed run)

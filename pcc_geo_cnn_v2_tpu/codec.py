@@ -58,12 +58,15 @@ def select_best_per_opt_metric(binstr, x_hat_list, level, opt_metrics, points,
     :return: list of dicts (idx, metrics, blocks_depart, blocks_full).
     """
     assert len(opt_metrics) == len(x_hat_list)
+    import time
+
     from scipy.spatial import cKDTree
 
     bbox_min = [0, 0, 0]
     bbox_max = [resolution] * 3
     t1 = cKDTree(points[:, :3], balanced_tree=False)
     metadata = []
+    t_depart = t_metrics = 0.0
     for group in opt_groups:
         group_entries = [
             (name, blocks, i)
@@ -73,12 +76,15 @@ def select_best_per_opt_metric(binstr, x_hat_list, level, opt_metrics, points,
         if not group_entries:
             continue
         names, candidates, indexes = zip(*group_entries)
+        t0 = time.time()
         departed = [
             departition_octree(blocks, binstr, bbox_min, bbox_max, level)
             for blocks in candidates
         ]
         full = [np.vstack(blocks) for blocks in departed]
+        t_depart += time.time() - t0
         key = f"{group}_psnr"
+        t0 = time.time()
         # empty candidates (all blocks hit the failure guard) score -inf
         metrics_full = [
             compute_metrics(points[:, :3], cloud, resolution - 1,
@@ -86,6 +92,10 @@ def select_best_per_opt_metric(binstr, x_hat_list, level, opt_metrics, points,
             if len(cloud) else {key: -np.inf}
             for cloud in full
         ]
+        t_metrics += time.time() - t0
+        logger.info("select group %s: %d candidates, %d dec pts, "
+                    "depart %.2fs, metrics %.2fs", group, len(candidates),
+                    len(full[0]), t_depart, t_metrics)
         scores = [m[key] for m in metrics_full]
         local_best = int(np.argmax(scores))
         best_idx = indexes[local_best]

@@ -3,11 +3,26 @@
 The XLA formulation in ``ops/threshold_sweep.py`` materializes the
 min-plus broadcast ([..., L, L]) in HBM — ~50 GB of traffic per 64³ block
 for a 256-threshold sweep. This kernel keeps the entire distance field in
-VMEM: per (block, threshold-chunk) grid step it thresholds x_hat, runs the
-three exact 1-D min-plus EDT passes as 64-iteration fori_loops over a
-VMEM-resident [B³] value, and reduces the AB/BA sums in-register. HBM
-traffic collapses to reading x_hat/occ/dt once per chunk and writing three
-scalars per threshold.
+VMEM and, crucially, bounds the min-plus shift loops *dynamically*:
+
+The sweep's AB sum only reads the candidate-set EDT at ORIGINAL occupied
+voxels, which hug the decoded surface, so their true NN distances are tiny
+(a few voxels) even though the full-volume EDT ranges to ~√3·B. Per
+threshold the kernel computes an exact upper bound on every occupied
+voxel's NN distance from axis-aligned rays (log-step doubling
+propagation), takes kmax = max over occupied voxels, and runs the y/x
+min-plus passes only for shifts ≤ kmax. Values elsewhere in the volume may
+be overestimates — they are masked out of the AB sum. Proof of exactness
+at occupied voxels: for p occupied with true NN c at distance² D ≤ kmax²,
+the separable path (dz,dy,dx) from c to p has every |d·| ≤ √D ≤ kmax, so
+each pass includes the needed shift; passes never underestimate.
+
+Layout: volumes ride as [B, B²] (z, y·B+x). The lane axis is then B² = 4096
+for 64³ blocks — fully populated 128-wide vregs, and both the x- and
+y-axis passes become *lane rotations* (by k and by B·k) with iota masks
+(``tpu.dynamic_rotate`` requires a 128-aligned lane dim; a [.., 64] lane
+layout is both unaligned and half-wasted). The z pass is a forward+backward
+linear-distance two-scan over sublanes (exact for the binary first pass).
 
 Thresholds at or past a block's first empty candidate set are skipped via
 ``@pl.when`` (their metrics are ineligible by construction — the selection
@@ -17,7 +32,7 @@ masks them out exactly as the reference's early ``break`` does,
 Mosaic notes: thresholds and per-block first-empty counts ride in SMEM via
 scalar prefetch; the [N, T] outputs use full (1, T) row blocks revisited
 across the threshold-chunk grid axis (the row stays in VMEM until the
-block index advances); iotas are built 3-D (TPU forbids 1-D iota).
+block index advances); iotas are built ≥2-D (TPU forbids 1-D iota).
 """
 
 from __future__ import annotations
@@ -34,59 +49,77 @@ from pcc_geo_cnn_v2_tpu.ops.edt import INF, squared_edt
 
 __all__ = ["d1_sweep_sums_pallas"]
 
+BIG = 1e9  # linear-distance infinity (BIG² stays finite in f32)
 
-def _edt_via_scratch(scratch, size, unroll=8):
-    """Exact 3-D squared EDT of the field currently held in ``scratch``.
 
-    Three min-plus passes, one per axis, each slicing the source ref along
-    its own axis (no transposes — lane/sublane dynamic slices lower fine in
-    Mosaic and a broadcast is far cheaper than a full-volume shuffle).
-    Loops are unrolled to amortize loop/slice overhead. Result is left in
-    ``scratch``.
-    """
+def _axis_ray_dist(mask, size, stride, pos):
+    """Exact 1-D L1 distance to the nearest ``mask`` voxel along one lane
+    axis (x: stride=1, y: stride=B) via log-step doubling propagation:
+    any gap k ≤ B-1 decomposes into binary jumps, min keeps the best."""
+    flat = mask.shape[-1]
+    d = jnp.where(mask, 0.0, BIG)
+    s = 1
+    while s < size:
+        fs = jnp.float32(s)
+        fwd = pltpu.roll(d, flat - s * stride, 1)  # fwd[i] = d[i + s·stride]
+        d = jnp.minimum(d, jnp.where(pos < size - s, fwd + fs, BIG))
+        bwd = pltpu.roll(d, s * stride, 1)  # bwd[i] = d[i - s·stride]
+        d = jnp.minimum(d, jnp.where(pos >= s, bwd + fs, BIG))
+        s *= 2
+    return d
 
-    def slice_pass(axis):
-        shape = [1, 1, 1]
-        shape[axis] = size
-        i0 = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis).astype(
-            jnp.float32
-        )
 
-        def body(jj, acc):
-            for u in range(unroll):
-                j = jj * unroll + u
-                d2 = (i0 - j.astype(jnp.float32)) ** 2
-                if axis == 0:
-                    col = scratch[pl.ds(j, 1), :, :]
-                else:
-                    col = scratch[:, pl.ds(j, 1), :]
-                acc = jnp.minimum(acc, col + d2)
-            return acc
+def _z_linear_scan(scratch, mask, size, unroll=None):
+    """Exact 1-D L1 distance along the sublane (z) axis: forward +
+    backward running-distance scans through the scratch ref (Mosaic can
+    dynamic-slice refs, not value sublanes). Leaves the result in scratch
+    and returns it. Row updates are sequential; unrolling only amortizes
+    loop overhead; it must divide size - 1 (63 = 9·7)."""
+    if unroll is None:
+        unroll = max(d for d in range(1, 9) if (size - 1) % d == 0)
+    assert (size - 1) % unroll == 0, (size, unroll)
+    scratch[...] = jnp.where(mask, 0.0, BIG)
 
-        acc = jax.lax.fori_loop(
-            0, size // unroll, body,
-            jnp.full((size, size, size), INF, jnp.float32),
-        )
-        scratch[...] = acc
+    def fwd(jj, carry):
+        for u in range(unroll):
+            j = jj * unroll + u + 1
+            scratch[pl.ds(j, 1), :] = jnp.minimum(
+                scratch[pl.ds(j, 1), :], scratch[pl.ds(j - 1, 1), :] + 1.0
+            )
+        return carry
 
-    def lane_pass():
-        # Mosaic cannot dynamic-slice the lane axis; lane *rotations* are a
-        # native op, so min over shifts ±k with edge masking instead.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
-        g = scratch[...]
-        acc = g  # k = 0
-        for k in range(1, size):
-            k2 = jnp.float32(k * k)
-            left = pltpu.roll(g, size - k, 2)  # left[i] = g[i+k] (wraps)
-            acc = jnp.minimum(acc, jnp.where(lane < size - k,
-                                             left + k2, INF))
-            right = pltpu.roll(g, k, 2)  # right[i] = g[i-k]
-            acc = jnp.minimum(acc, jnp.where(lane >= k, right + k2, INF))
-        scratch[...] = acc
+    def bwd(jj, carry):
+        for u in range(unroll):
+            j = size - 2 - (jj * unroll + u)
+            scratch[pl.ds(j, 1), :] = jnp.minimum(
+                scratch[pl.ds(j, 1), :], scratch[pl.ds(j + 1, 1), :] + 1.0
+            )
+        return carry
 
-    slice_pass(0)
-    slice_pass(1)
-    lane_pass()
+    jax.lax.fori_loop(0, (size - 1) // unroll, fwd, 0)
+    jax.lax.fori_loop(0, (size - 1) // unroll, bwd, 0)
+    return scratch[...]
+
+
+def _min_plus_rolls(scratch, size, stride, pos, kmax, unroll=4):
+    """Min-plus pass along a lane axis (x: stride=1, y: stride=B) for
+    shifts 1..kmax (dynamic). Exact wherever the true best shift ≤ kmax."""
+    flat = size * size
+    g = scratch[...]
+
+    def body(kk, acc):
+        for u in range(unroll):
+            k = kk * unroll + u + 1
+            k2 = (k * k).astype(jnp.float32)
+            left = pltpu.roll(g, flat - k * stride, 1)  # [i] = g[i + k·s]
+            acc = jnp.minimum(acc, jnp.where(pos < size - k, left + k2, INF))
+            right = pltpu.roll(g, k * stride, 1)  # [i] = g[i - k·s]
+            acc = jnp.minimum(acc, jnp.where(pos >= k, right + k2, INF))
+        return acc
+
+    n_iter = jnp.minimum((kmax + unroll - 1) // unroll,
+                         (size + unroll - 2) // unroll)
+    scratch[...] = jax.lax.fori_loop(0, n_iter, body, g)
 
 
 def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
@@ -99,12 +132,30 @@ def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
     occ_b = occ > 0.0
     first_empty = first_empty_ref[block_id]
     T = ab_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)  # int iota: ok
+    flat = size * size
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)  # int iota: ok
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, flat), 1)
+    x_pos = lane % size
+    y_pos = lane // size
 
     def _store(ref, t_global, value):
         # Mosaic forbids scalar VMEM stores: masked full-row RMW instead.
         row = ref[pl.ds(block_id, 1), :]
-        ref[pl.ds(block_id, 1), :] = jnp.where(lane == t_global, value, row)
+        ref[pl.ds(block_id, 1), :] = jnp.where(lane_t == t_global, value, row)
+
+    # Chunk-level shift bound: candidate sets are nested, so one ray bound
+    # computed on the chunk's SMALLEST eligible set (largest eligible t)
+    # upper-bounds every occupied voxel's NN distance for all thresholds in
+    # the chunk. Amortizes the doubling passes 1/chunk.
+    t_last = jnp.clip(
+        jnp.minimum(chunk_id * chunk + chunk - 1, first_empty - 1), 0, T - 1
+    )
+    mask_last = x_hat > thr_ref[t_last]
+    ray = _z_linear_scan(scratch, mask_last, size)
+    ray = jnp.minimum(ray, _axis_ray_dist(mask_last, size, size, y_pos))
+    ray = jnp.minimum(ray, _axis_ray_dist(mask_last, size, 1, x_pos))
+    kmax_f = jnp.max(jnp.where(occ_b, ray, 0.0))
+    kmax = jnp.minimum(kmax_f, jnp.float32(size - 1)).astype(jnp.int32)
 
     for t in range(chunk):
         t_global = chunk_id * chunk + t
@@ -115,8 +166,13 @@ def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
             mask = x_hat > thr
             _store(cnt_ref, t_global, jnp.sum(mask.astype(jnp.float32)))
             _store(ba_ref, t_global, jnp.sum(jnp.where(mask, dt, 0.0)))
-            scratch[...] = jnp.where(mask, 0.0, INF).astype(jnp.float32)
-            _edt_via_scratch(scratch, size)
+
+            # exact squared-EDT at occupied voxels: z two-scan (exact 1-D)
+            # squared, then bounded y/x min-plus passes
+            lin_z = _z_linear_scan(scratch, mask, size)
+            scratch[...] = jnp.minimum(lin_z * lin_z, INF)
+            _min_plus_rolls(scratch, size, size, y_pos, kmax)
+            _min_plus_rolls(scratch, size, 1, x_pos, kmax)
             _store(ab_ref, t_global,
                    jnp.sum(jnp.where(occ_b, scratch[...], 0.0)))
 
@@ -142,20 +198,25 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, interpret=False):
     dt_orig = squared_edt(occ > 0)
 
     # per-block first empty threshold: candidates are nested, so this is
-    # the count of thresholds with a non-empty candidate set. Via sort +
-    # searchsorted (exact same float comparisons as `x_hat > t`).
-    xs = jnp.sort(x_hat.reshape(n, -1), axis=1)
-    total = xs.shape[1]
-    counts_all = total - jax.vmap(
-        lambda row: jnp.searchsorted(row, thresholds, side="right")
-    )(xs)  # [N, T]
-    first_empty = jnp.sum((counts_all > 0).astype(jnp.int32), axis=1)
+    # the count of thresholds with a non-empty candidate set — i.e. the
+    # count of thresholds below the block max (same float comparisons as
+    # `x_hat > t`).
+    x_max = jnp.max(x_hat.reshape(n, -1), axis=1)  # [N]
+    first_empty = jnp.sum(
+        (x_max[:, None] > thresholds[None, :]).astype(jnp.int32), axis=1
+    )
+
+    # [B, B²] layout: fully-populated, 128-aligned lane axis (see module doc)
+    flatten = lambda a: a.reshape(n, size, size * size)
+    x_hat_f = flatten(x_hat.astype(jnp.float32))
+    occ_f = flatten(jnp.asarray(occ, jnp.float32))
+    dt_f = flatten(dt_orig)
 
     grid = (n, T // chunk)
     kernel = functools.partial(_sweep_kernel, chunk=chunk, size=size)
     # index maps receive the scalar-prefetch refs as trailing arguments
-    vol_spec = lambda: pl.BlockSpec((1, size, size, size),
-                                    lambda i, j, *_: (i, 0, 0, 0),
+    vol_spec = lambda: pl.BlockSpec((1, size, size * size),
+                                    lambda i, j, *_: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     # whole-array output blocks (tiny: [N, T] f32), revisited by every grid
     # step so they live in VMEM for the entire sweep
@@ -169,9 +230,12 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, interpret=False):
             grid=grid,
             in_specs=[vol_spec(), vol_spec(), vol_spec()],
             out_specs=(out_spec, out_spec, out_spec),
-            scratch_shapes=[pltpu.VMEM((size, size, size), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((size, size * size), jnp.float32)],
         ),
         out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(first_empty, thresholds, x_hat, occ, dt_orig)
+    )(first_empty, thresholds, x_hat_f, occ_f, dt_f)
     return ab, ba, cnt, dt_orig
