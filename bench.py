@@ -73,7 +73,13 @@ def main():
     # Model: use the committed benchmark checkpoint when present (realistic
     # RD operating point, no retraining); otherwise quick-train on
     # synthetic surface blocks.
-    model = build_model("c3p")
+    # bf16 conv compute (params stay f32; quantization, CDF indexing and
+    # thresholding run f32). Bit-exact enc/dec is preserved — both sides
+    # run the same decoder executables.
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[
+        os.environ.get("BENCH_DTYPE", "bfloat16")
+    ]
+    model = build_model("c3p", dtype=dtype)
     ckpt = (Path(__file__).parent
             / "pcc_geo_cnn_v2_tpu/assets/bench_c3p.msgpack.gz")
     if ckpt.exists():

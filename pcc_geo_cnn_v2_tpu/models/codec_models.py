@@ -59,14 +59,15 @@ class CompressionModelV1(nn.Module):
 
     def encode(self, x):
         """x [N,B,B,B,1] → int32 y symbols + decoder-identical x_hat."""
-        y = self.analysis_t(x)
+        y = self.analysis_t(x).astype(jnp.float32)  # quantize in f32 even
+        # when the conv stack runs bf16 (integer symbols need f32 range)
         y_sym = self.entropy_bottleneck.quantize_symbols(y)
         x_hat = self.decode(y_sym)
         return {"y_sym": y_sym, "x_hat": x_hat}
 
     def decode(self, y_sym):
         y_hat = self.entropy_bottleneck.dequantize_symbols(y_sym)
-        x_hat = self.synthesis_t(y_hat)
+        x_hat = self.synthesis_t(y_hat).astype(jnp.float32)
         return jnp.clip(x_hat, 0.0, 1.0)
 
 
@@ -122,9 +123,10 @@ class CompressionModelV2(nn.Module):
         reconstructions match the decoder bit-for-bit on one platform.
         """
         y = self.analysis_t(x)
-        z = self.hyper_analysis_t(y)
+        z = self.hyper_analysis_t(y).astype(jnp.float32)
+        # quantize in f32 even when the conv stacks run bf16
         z_sym = self.entropy_bottleneck.quantize_symbols(z)
-        y_sym = self.conditional.quantize_symbols(y)
+        y_sym = self.conditional.quantize_symbols(y.astype(jnp.float32))
         sigma, y_idx = self.decode_z(z_sym)
         x_hat = self.decode_y(y_sym)
         return {"z_sym": z_sym, "y_sym": y_sym, "y_idx": y_idx, "x_hat": x_hat}
@@ -132,12 +134,12 @@ class CompressionModelV2(nn.Module):
     def decode_z(self, z_sym):
         """ẑ symbols → (σ̂, per-element y CDF-row indexes)."""
         z_hat = self.entropy_bottleneck.dequantize_symbols(z_sym)
-        sigma = self.hyper_synthesis_t(z_hat)
+        sigma = self.hyper_synthesis_t(z_hat).astype(jnp.float32)
         gc = self.conditional
         sigma_b = gc.bound_scale(sigma)
         return sigma_b, gc.indexes(sigma_b)
 
     def decode_y(self, y_sym):
         y_hat = self.conditional.dequantize_symbols(y_sym)
-        x_hat = self.synthesis_t(y_hat)
+        x_hat = self.synthesis_t(y_hat).astype(jnp.float32)
         return jnp.clip(x_hat, 0.0, 1.0)
