@@ -231,11 +231,16 @@ class BlockCodec:
 
     # -- device passes in chunks ------------------------------------------
 
-    def _run_chunked(self, fn, arrays, n):
+    def _run_chunked(self, fn, arrays, n, keep_device=(), also_device=False):
         """Apply a jitted per-batch fn over n items, padding the last chunk.
 
         All chunks are dispatched before any result is fetched — JAX's async
         dispatch pipelines device compute with host transfers.
+
+        :param keep_device: dict-output keys to keep as one device array
+            (never crossing the tunnel); returns ``(host_out, device_out)``.
+        :param also_device: array-output variant — return the host copy and
+            the concatenated device array.
         """
         outs = []
         bs = self.batch_blocks
@@ -257,9 +262,26 @@ class BlockCodec:
                 params = self.params
                 chunk_dev = [jnp.asarray(c) for c in chunk]
             outs.append(fn(params, *chunk_dev))
-        outs = jax.device_get(outs)
-        stitched = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *outs)
-        return jax.tree_util.tree_map(lambda a: a[:n], stitched)
+        def _concat_on_one_device(parts):
+            if self.devices:  # round-robin leaves parts on many devices
+                parts = [jax.device_put(p, self.devices[0]) for p in parts]
+            return jnp.concatenate(parts)[:n]
+
+        dev_keep = {}
+        for key in keep_device:
+            dev_keep[key] = _concat_on_one_device([o.pop(key) for o in outs])
+        dev_full = None
+        if also_device:
+            dev_full = _concat_on_one_device(outs)
+        host = jax.device_get(outs)
+        stitched = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs),
+                                          *host)
+        stitched = jax.tree_util.tree_map(lambda a: a[:n], stitched)
+        if keep_device:
+            return stitched, dev_keep
+        if also_device:
+            return stitched, dev_full
+        return stitched
 
     # -- encode ------------------------------------------------------------
 
@@ -301,6 +323,15 @@ class BlockCodec:
             )
         payload = [(self.entropy_encode(out, i), 128) for i in range(2)]
         self.decompress_blocks(payload)
+        # compile the full-cloud metric chunk (ops/cloud_metrics)
+        from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import blockwise_d1_sums
+
+        packed = out["packed_occ"]
+        origins = np.arange(len(packed))[:, None] * np.array(
+            [[self.block_size, 0, 0]]
+        )
+        blockwise_d1_sums(packed, packed, origins, self.block_size,
+                          batch=64)
 
     def encode_blocks(self, blocks):
         """Device pass: blocks → integer symbols (+ x_hat probabilities)."""
@@ -378,6 +409,11 @@ class BlockCodec:
             # symbols instead (bit-exact by construction).
             out.pop("y_idx", None)
             out["picks"] = picks
+            # packed original occupancy feeds the on-device full-cloud
+            # metric (ops/cloud_metrics); 1 bit/voxel, stays on device
+            out["packed_occ"] = jnp.packbits(
+                (occ > 0).reshape(occ.shape[0], -1), axis=-1, bitorder="big"
+            )
             return self._compact(out)
 
         jitted = jax.jit(fn)
@@ -413,9 +449,9 @@ class BlockCodec:
         if with_normals:
             arrays.append(pack_attrs(blocks, [3, 4, 5], budget))
         t0 = time.time()
-        out = self._run_chunked(
+        out, dev_keep = self._run_chunked(
             self._encode_opt_fn(opt_metrics, max_deltas, with_normals),
-            arrays, n,
+            arrays, n, keep_device=("packed_occ",),
         )
         t_device = time.time() - t0
         assert int(np.sum(out["sym_overflow"])) == 0, "int16 symbol overflow"
@@ -434,15 +470,17 @@ class BlockCodec:
                 self._decode_z, [out["z_sym"]], n
             )
         mask_fn = self._decode_y_mask if self.is_v2 else self._decode_mask
-        packed_by_metric = [
-            self._run_chunked(
+        packed_by_metric = []
+        packed_dev_by_metric = []
+        for m in range(n_metrics):
+            host_m, dev_m = self._run_chunked(
                 mask_fn,
                 [out["y_sym"],
                  self.thresholds[picks[:, m]].astype(np.float32)],
-                n,
+                n, also_device=True,
             )
-            for m in range(n_metrics)
-        ]
+            packed_by_metric.append(host_m)
+            packed_dev_by_metric.append(dev_m)
         t_device += time.time() - t0
 
         t0 = time.time()
@@ -469,10 +507,17 @@ class BlockCodec:
         x_hat_points = [flat[m * n:(m + 1) * n] for m in range(n_metrics)]
         t_unpack = time.time() - t0
         t0 = time.time()
-        metadata = select_best_per_opt_metric(
-            binstr, x_hat_points, level, opt_names, points, resolution,
-            with_normals=with_normals,
-        )
+        if with_normals:
+            # d2 selection metrics need normal transfer — host path
+            metadata = select_best_per_opt_metric(
+                binstr, x_hat_points, level, opt_names, points, resolution,
+                with_normals=with_normals,
+            )
+        else:
+            metadata = self._select_best_device(
+                binstr, x_hat_points, dev_keep["packed_occ"],
+                packed_dev_by_metric, opt_names, points, resolution, level,
+            )
         t_select = time.time() - t0
         logger.info(
             "compress_blocks_device_opt(%d blocks): device %.2fs, "
@@ -484,6 +529,87 @@ class BlockCodec:
             list(zip(strings_list, by_metric[m["idx"]])) for m in metadata
         ]
         return data_list, metadata
+
+    def _select_best_device(self, binstr, x_hat_points, occ_packed,
+                            masks_packed, opt_names, points, resolution,
+                            level, opt_groups=("d1", "d2")):
+        """Best-variant selection with full-cloud D1 metrics on device.
+
+        Same semantics as :func:`select_best_per_opt_metric` for d1 groups
+        (exact sums via halo EDTs, ops/cloud_metrics); host KD-trees only
+        touch the rare > halo outliers.
+        """
+        from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
+            blockwise_d1_sums,
+            d1_metrics_from_sums,
+            resolve_outliers,
+        )
+        from pcc_geo_cnn_v2_tpu.utils.octree import block_origins
+
+        bbox_min = [0, 0, 0]
+        bbox_max = [resolution] * 3
+        origins = np.stack(
+            block_origins(binstr, bbox_min, bbox_max, level)
+        )
+        metadata = []
+        for group in opt_groups:
+            entries = [(nm, i) for i, nm in enumerate(opt_names)
+                       if nm.startswith(group)]
+            if not entries:
+                continue
+            assert group == "d1", (
+                "device selection covers d1 groups; d2 requires normals"
+            )
+            import time
+
+            metrics_full = []
+            departed_cache = {}
+
+            def departed(i):
+                if i not in departed_cache:
+                    departed_cache[i] = departition_octree(
+                        x_hat_points[i], binstr, bbox_min, bbox_max, level
+                    )
+                return departed_cache[i]
+
+            for nm, i in entries:
+                t0 = time.time()
+                sums = blockwise_d1_sums(
+                    occ_packed, masks_packed[i], origins, self.block_size,
+                    batch=64,
+                )
+                t_sums = time.time() - t0
+                t0 = time.time()
+                if sums["n_b"] == 0:  # all blocks hit the failure guard
+                    metrics_full.append({"d1_psnr": -np.inf})
+                    continue
+                # A-outliers search the (large) decoded cloud: ring search
+                # over its blocks instead of a full KD build
+                resolve_a = (lambda q, i=i: resolve_outliers(
+                    q, x_hat_points[i], origins, self.block_size))
+                metrics_full.append(
+                    d1_metrics_from_sums(sums, resolution - 1,
+                                         points_a=points[:, :3],
+                                         resolve_a=resolve_a)
+                )
+                logger.info("metric %s: sums %.2fs, resolve %.2fs "
+                            "(%d+%d outliers)", nm, t_sums,
+                            time.time() - t0, len(sums["outliers_a"]),
+                            len(sums["outliers_b"]))
+            scores = [m["d1_psnr"] for m in metrics_full]
+            local_best = int(np.argmax(scores))
+            nm, best_idx = entries[local_best]
+            logger.info("group %s: best %s (d1_psnr=%.2f) [device metric]",
+                        group, nm, scores[local_best])
+            blocks_depart = departed(best_idx)
+            metadata.append({
+                "idx": best_idx,
+                "metrics": metrics_full[local_best],
+                "x_hat_list": x_hat_points[best_idx],
+                "blocks_depart": blocks_depart,
+                "blocks_full": np.vstack(blocks_depart),
+            })
+        return metadata
 
     def compress_blocks(self, blocks, binstr, points, resolution, level,
                         with_normals=False, opt_metrics=("d1_mse",),

@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["INF", "squared_edt", "minplus_1d", "squared_edt_argmin"]
+__all__ = ["INF", "squared_edt", "banded_squared_edt", "minplus_1d",
+           "squared_edt_argmin"]
 
 INF = 1e12
 
@@ -44,6 +45,32 @@ def squared_edt(occ):
     g = jnp.where(jnp.asarray(occ, bool), 0.0, INF).astype(jnp.float32)
     for ax in (-3, -2, -1):
         g = minplus_1d(g, ax)
+    return g
+
+
+def _banded_minplus_1d(g, band, axis):
+    """out[i] = min_{|k| ≤ band} g[i+k] + k² (INF beyond the edges)."""
+    gm = jnp.moveaxis(g, axis, -1)
+    L = gm.shape[-1]
+    pad = [(0, 0)] * (gm.ndim - 1) + [(band, band)]
+    padded = jnp.pad(gm, pad, constant_values=INF)
+    out = gm  # k = 0
+    for k in range(1, band + 1):
+        k2 = float(k * k)
+        out = jnp.minimum(out, padded[..., band + k: band + k + L] + k2)
+        out = jnp.minimum(out, padded[..., band - k: band - k + L] + k2)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def banded_squared_edt(occ, band):
+    """Squared EDT, exact for every result ≤ band²; larger values are
+    upper bounds (a true distance ≤ band decomposes into per-axis offsets
+    each ≤ band, all captured by the banded passes). 2·band+1 shifted adds
+    per axis instead of the full [L, L] min-plus broadcast — the right
+    trade when only distances ≤ band matter (ops/cloud_metrics)."""
+    g = jnp.where(jnp.asarray(occ, bool), 0.0, INF).astype(jnp.float32)
+    for ax in (-3, -2, -1):
+        g = _banded_minplus_1d(g, band, ax)
     return g
 
 

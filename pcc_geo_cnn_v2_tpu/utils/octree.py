@@ -22,6 +22,7 @@ __all__ = [
     "morton_codes",
     "partition_octree",
     "departition_octree",
+    "block_origins",
     "child_bbox",
 ]
 
@@ -138,12 +139,11 @@ def child_bbox(v: int, bbox_min: np.ndarray, bbox_max: np.ndarray):
     return lo, hi
 
 
-def departition_octree(blocks, binstr, bbox_min, bbox_max, level):
-    """Inverse of :func:`partition_octree`: restore global coordinates.
+def block_origins(binstr, bbox_min, bbox_max, level):
+    """Global origin of every leaf block, in binstr traversal order.
 
     Walks the DFS pre-order binstr, assigning each leaf (depth == level)
-    its global origin in traversal order, and translates each block's xyz
-    back. Blocks are returned as new arrays; extra columns pass through.
+    its global origin in traversal order.
     """
     bbox_min = np.asarray(bbox_min)
     bbox_max = np.asarray(bbox_max)
@@ -164,6 +164,17 @@ def departition_octree(blocks, binstr, bbox_min, bbox_max, level):
                     rec(depth + 1, clo, chi)
 
     rec(0, bbox_min, bbox_max)
+    return origins
+
+
+def departition_octree(blocks, binstr, bbox_min, bbox_max, level):
+    """Inverse of :func:`partition_octree`: restore global coordinates.
+
+    Assigns each leaf (depth == level) its global origin in binstr
+    traversal order and translates each block's xyz back. Blocks are
+    returned as new arrays; extra columns pass through.
+    """
+    origins = block_origins(binstr, bbox_min, bbox_max, level)
     assert len(origins) == len(blocks), (
         f"binstr describes {len(origins)} blocks, got {len(blocks)}"
     )
