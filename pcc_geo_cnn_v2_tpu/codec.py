@@ -231,16 +231,22 @@ class BlockCodec:
 
     # -- device passes in chunks ------------------------------------------
 
-    def _run_chunked(self, fn, arrays, n, keep_device=(), also_device=False):
+    def _run_chunked(self, fn, arrays, n, keep_device=(), also_device=False,
+                     device_copies=()):
         """Apply a jitted per-batch fn over n items, padding the last chunk.
 
         All chunks are dispatched before any result is fetched — JAX's async
-        dispatch pipelines device compute with host transfers.
+        dispatch pipelines device compute with host transfers. Inputs may be
+        device arrays (chunk slicing then happens on device — chaining
+        passes without tunnel round-trips).
 
-        :param keep_device: dict-output keys to keep as one device array
-            (never crossing the tunnel); returns ``(host_out, device_out)``.
+        :param keep_device: dict-output keys to keep ONLY as one device
+            array (never crossing the tunnel); returns
+            ``(host_out, device_out)``.
         :param also_device: array-output variant — return the host copy and
             the concatenated device array.
+        :param device_copies: dict-output keys to keep on device IN ADDITION
+            to the host copy (merged into the ``keep_device`` dict).
         """
         outs = []
         bs = self.batch_blocks
@@ -249,8 +255,9 @@ class BlockCodec:
             chunk = [a[lo:hi] for a in arrays]
             if hi - lo < bs:
                 chunk = [
-                    np.concatenate(
-                        [c, np.zeros((bs - (hi - lo),) + c.shape[1:], c.dtype)]
+                    (jnp if isinstance(c, jax.Array) else np).concatenate(
+                        [c, (jnp if isinstance(c, jax.Array) else np).zeros(
+                            (bs - (hi - lo),) + c.shape[1:], c.dtype)]
                     )
                     for c in chunk
                 ]
@@ -270,6 +277,8 @@ class BlockCodec:
         dev_keep = {}
         for key in keep_device:
             dev_keep[key] = _concat_on_one_device([o.pop(key) for o in outs])
+        for key in device_copies:
+            dev_keep[key] = _concat_on_one_device([o[key] for o in outs])
         dev_full = None
         if also_device:
             dev_full = _concat_on_one_device(outs)
@@ -277,7 +286,7 @@ class BlockCodec:
         stitched = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs),
                                           *host)
         stitched = jax.tree_util.tree_map(lambda a: a[:n], stitched)
-        if keep_device:
+        if keep_device or device_copies:
             return stitched, dev_keep
         if also_device:
             return stitched, dev_full
@@ -359,9 +368,14 @@ class BlockCodec:
     def _encode_opt_fn(self, opt_metrics, max_deltas, with_normals=False):
         """Jitted encode + on-device threshold sweep.
 
-        Returns (symbols..., picks [N, M]); the float probability grids
-        never leave the device. With normals, d2_* metrics sweep on device
-        too (argmin-carrying EDTs).
+        One fused executable: XLA shares/fuses the analysis, decode-path
+        and sweep intermediates — a split (symbols pass + separate sweep
+        pass over the decoder synthesis) measured ~10% SLOWER end-to-end.
+        y_idx and the reconstruction masks are still NOT taken from here:
+        XLA fuses the decode path differently than in the decoder's own
+        executables, and one-ulp drift near a CDF-index or threshold
+        boundary would corrupt the stream / flip voxels; the driver reruns
+        the decoder executables on the symbols (bit-exact by construction).
         """
         key = (tuple(opt_metrics), tuple(max_deltas), with_normals)
         if key in self._encode_opt_cache:
@@ -401,12 +415,6 @@ class BlockCodec:
                     occ, x_hat, thresholds, opt_metrics=opt_metrics,
                     max_deltas=max_deltas,
                 )  # [N, M]
-            # y_idx and the reconstruction masks are NOT taken from this
-            # fused executable: XLA fuses the decode path differently here
-            # than in the decoder's own executables, and one-ulp drift near
-            # a CDF-index or threshold boundary would corrupt the stream /
-            # flip voxels. The driver reruns the decoder executables on the
-            # symbols instead (bit-exact by construction).
             out.pop("y_idx", None)
             out["picks"] = picks
             # packed original occupancy feeds the on-device full-cloud
@@ -449,12 +457,15 @@ class BlockCodec:
         if with_normals:
             arrays.append(pack_attrs(blocks, [3, 4, 5], budget))
         t0 = time.time()
+        # fused encode + sweep; y symbols and occupancy keep device copies
+        # so the canonical/metric passes never re-upload them
         out, dev_keep = self._run_chunked(
             self._encode_opt_fn(opt_metrics, max_deltas, with_normals),
-            arrays, n, keep_device=("packed_occ",),
+            arrays, n, keep_device=("packed_occ",), device_copies=("y_sym",),
         )
-        t_device = time.time() - t0
         assert int(np.sum(out["sym_overflow"])) == 0, "int16 symbol overflow"
+        picks = np.asarray(out["picks"])
+        t_device = time.time() - t0
 
         # Decoder-canonical passes: CDF-row indexes and the embedded
         # reconstructions come from the SAME executables the decoder runs
@@ -464,7 +475,6 @@ class BlockCodec:
         t0 = time.time()
         opt_names = [f"{m}_{d}" for d in max_deltas for m in opt_metrics]
         n_metrics = len(opt_names)
-        picks = np.asarray(out["picks"])
         if self.is_v2:
             out["y_idx"] = self._run_chunked(
                 self._decode_z, [out["z_sym"]], n
@@ -475,7 +485,7 @@ class BlockCodec:
         for m in range(n_metrics):
             host_m, dev_m = self._run_chunked(
                 mask_fn,
-                [out["y_sym"],
+                [dev_keep["y_sym"],
                  self.thresholds[picks[:, m]].astype(np.float32)],
                 n, also_device=True,
             )
