@@ -167,17 +167,13 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16):
         outs.append(_halo_d1_chunk(jnp.take(a_ext, idx, axis=0),
                                    jnp.take(b_ext, idx, axis=0),
                                    size=size, halo=halo))
-    # fetch scalars; outlier bitmaps stay on device — gather only the
-    # flagged blocks' rows and fetch them in ONE transfer (per-row fetches
-    # pay ~50 ms tunnel latency each)
-    scalars = jax.device_get([
-        {k: v for k, v in o.items() if not k.endswith("_unres")}
-        for o in outs
-    ])
-    res = {
-        k: np.concatenate([s[k] for s in scalars])[:n]
-        for k in scalars[0]
-    }
+    # fetch scalars as ONE device-concatenated transfer per key (fetching
+    # per-chunk leaves pays ~50 ms tunnel latency each); outlier bitmaps
+    # stay on device — gather only the flagged blocks' rows in one transfer
+    res = jax.device_get({
+        k: jnp.concatenate([o[k] for o in outs])[:n]
+        for k in outs[0] if not k.endswith("_unres")
+    })
     origins = np.asarray(origins)
     outliers = {"ab": [], "ba": []}
     for tag in ("ab", "ba"):
