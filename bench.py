@@ -120,7 +120,8 @@ def main():
         params = jax.device_get(state.params)
 
     codec = BlockCodec(
-        model, params, block_size=64, batch_blocks=32,
+        model, params, block_size=64,
+        batch_blocks=int(os.environ.get("BENCH_BATCH_BLOCKS", 64)),
         sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "auto"),
     )
 
