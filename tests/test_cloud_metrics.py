@@ -106,3 +106,21 @@ def test_neighbor_table():
     j_py = offs.index((0, 1, 0))
     assert nb[0, j_px] == 1 and nb[0, j_py] == 2
     assert nb[1, offs.index((-1, 0, 0))] == 0
+
+
+def test_resolve_outliers_matches_kd():
+    from scipy.spatial import cKDTree
+
+    from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import resolve_outliers
+
+    rng = np.random.default_rng(1)
+    size = 64
+    origins = np.array([[x * 64, y * 64, z * 64]
+                        for x in range(4) for y in range(4) for z in range(4)])
+    blocks = [rng.integers(0, 64, (int(rng.integers(0, 8)), 3))
+              .astype(np.float64) for _ in origins]
+    cloud = np.vstack([b + o for b, o in zip(blocks, origins) if len(b)])
+    queries = rng.uniform(0, 256, (500, 3)).round()
+    d2 = resolve_outliers(queries, blocks, origins, size)
+    d, _ = cKDTree(cloud).query(queries)
+    np.testing.assert_allclose(d2, d ** 2)

@@ -146,6 +146,13 @@ def test_device_opt_path_matches_host_path():
         assert hm["idx"] == dm["idx"]
         for hb, db in zip(hm["x_hat_list"], dm["x_hat_list"]):
             np.testing.assert_array_equal(hb, db)
+        # device-side full-cloud metrics (ops/cloud_metrics) must agree
+        # with the host KD-tree metrics used by select_best_per_opt_metric
+        for key in ("d1_sum_AB", "d1_sum_BA", "d1_mse", "d1_psnr"):
+            np.testing.assert_allclose(
+                dm["metrics"][key], hm["metrics"][key], rtol=1e-6,
+                err_msg=key,
+            )
 
 
 def test_multi_device_codec_matches_single():
