@@ -122,8 +122,9 @@ def _min_plus_rolls(scratch, size, stride, pos, kmax, unroll=4):
     scratch[...] = jax.lax.fori_loop(0, n_iter, body, g)
 
 
-def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
-                  ab_ref, ba_ref, cnt_ref, scratch, *, chunk, size):
+def _sweep_kernel(first_empty_ref, t_small_ref, thr_ref, topk_val_ref,
+                  topk_pos_ref, x_hat_ref, occ_ref, dt_ref,
+                  ab_ref, ba_ref, cnt_ref, scratch, *, chunk, size, topk):
     block_id = pl.program_id(0)
     chunk_id = pl.program_id(1)
     x_hat = x_hat_ref[0]
@@ -131,12 +132,14 @@ def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
     dt = dt_ref[0]
     occ_b = occ > 0.0
     first_empty = first_empty_ref[block_id]
+    t_small = t_small_ref[block_id]  # thresholds ≥ t_small have count ≤ topk
     T = ab_ref.shape[1]
     flat = size * size
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)  # int iota: ok
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, flat), 1)
     x_pos = lane % size
     y_pos = lane // size
+    z_pos = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
 
     def _store(ref, t_global, value):
         # Mosaic forbids scalar VMEM stores: masked full-row RMW instead.
@@ -144,11 +147,14 @@ def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
         ref[pl.ds(block_id, 1), :] = jnp.where(lane_t == t_global, value, row)
 
     # Chunk-level shift bound: candidate sets are nested, so one ray bound
-    # computed on the chunk's SMALLEST eligible set (largest eligible t)
-    # upper-bounds every occupied voxel's NN distance for all thresholds in
-    # the chunk. Amortizes the doubling passes 1/chunk.
+    # computed on the chunk's SMALLEST set still on the EDT path (largest
+    # t < t_small in the chunk) upper-bounds every occupied voxel's NN
+    # distance for all EDT thresholds in the chunk. Amortizes the doubling
+    # passes 1/chunk. Thresholds ≥ t_small take the top-k branch instead,
+    # which keeps the sparse-set tail (huge NN distances) out of the bound.
     t_last = jnp.clip(
-        jnp.minimum(chunk_id * chunk + chunk - 1, first_empty - 1), 0, T - 1
+        jnp.minimum(chunk_id * chunk + chunk - 1,
+                    jnp.minimum(first_empty, t_small) - 1), 0, T - 1
     )
     mask_last = x_hat > thr_ref[t_last]
     ray = _z_linear_scan(scratch, mask_last, size)
@@ -167,14 +173,38 @@ def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
             _store(cnt_ref, t_global, jnp.sum(mask.astype(jnp.float32)))
             _store(ba_ref, t_global, jnp.sum(jnp.where(mask, dt, 0.0)))
 
-            # exact squared-EDT at occupied voxels: z two-scan (exact 1-D)
-            # squared, then bounded y/x min-plus passes
-            lin_z = _z_linear_scan(scratch, mask, size)
-            scratch[...] = jnp.minimum(lin_z * lin_z, INF)
-            _min_plus_rolls(scratch, size, size, y_pos, kmax)
-            _min_plus_rolls(scratch, size, 1, x_pos, kmax)
-            _store(ab_ref, t_global,
-                   jnp.sum(jnp.where(occ_b, scratch[...], 0.0)))
+            @pl.when(t_global < t_small)
+            def _(t_global=t_global, thr=thr, mask=mask):
+                # exact squared-EDT at occupied voxels: z two-scan (exact
+                # 1-D) squared, then bounded y/x min-plus passes
+                lin_z = _z_linear_scan(scratch, mask, size)
+                scratch[...] = jnp.minimum(lin_z * lin_z, INF)
+                _min_plus_rolls(scratch, size, size, y_pos, kmax)
+                _min_plus_rolls(scratch, size, 1, x_pos, kmax)
+                _store(ab_ref, t_global,
+                       jnp.sum(jnp.where(occ_b, scratch[...], 0.0)))
+
+            @pl.when(t_global >= t_small)
+            def _(t_global=t_global, thr=thr):
+                # count ≤ topk ⇒ the candidate set is exactly the top-k
+                # voxels with value > thr: AB from k point-distance planes
+                # built from iotas — no EDT, immune to the sparse-set
+                # distance blow-up.
+                acc = jnp.full((size, flat), INF, jnp.float32)
+                for k in range(topk):
+                    valid = topk_val_ref[block_id, k] > thr
+                    zk = topk_pos_ref[block_id, k, 0]
+                    yk = topk_pos_ref[block_id, k, 1]
+                    xk = topk_pos_ref[block_id, k, 2]
+                    dz = (z_pos - zk).astype(jnp.float32)
+                    dy = (y_pos - yk).astype(jnp.float32)
+                    dx = (x_pos - xk).astype(jnp.float32)
+                    d2 = dz * dz + dy * dy + dx * dx
+                    acc = jnp.minimum(
+                        acc, jnp.where(valid, d2, INF)
+                    )
+                _store(ab_ref, t_global,
+                       jnp.sum(jnp.where(occ_b, acc, 0.0)))
 
         @pl.when(t_global >= first_empty)
         def _(t_global=t_global):
@@ -183,13 +213,17 @@ def _sweep_kernel(first_empty_ref, thr_ref, x_hat_ref, occ_ref, dt_ref,
             _store(ab_ref, t_global, INF)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, interpret=False):
+@functools.partial(jax.jit, static_argnames=("chunk", "topk", "interpret"))
+def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
+                         interpret=False):
     """Batched sweep sums via the Pallas kernel.
 
     :param x_hat: [N, B, B, B] decoded probabilities.
     :param occ: [N, B, B, B] original occupancy.
     :param thresholds: [T] ascending (T % chunk == 0).
+    :param topk: thresholds whose candidate set has ≤ topk voxels take the
+        brute-force point-distance branch (any |S_t| ≤ k set is contained
+        in the top-k-by-value voxels — see kernel).
     :return: (ab_sum [N,T], ba_sum [N,T], count [N,T], dt_orig [N,B,B,B])
     """
     n, size = x_hat.shape[0], x_hat.shape[-1]
@@ -205,6 +239,19 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, interpret=False):
     first_empty = jnp.sum(
         (x_max[:, None] > thresholds[None, :]).astype(jnp.int32), axis=1
     )
+    # top-(k+1) values/positions: count(t) > topk ⟺ the (topk+1)-th largest
+    # value > t, so t_small = #thresholds below that value
+    flat_vals = x_hat.reshape(n, -1).astype(jnp.float32)
+    topk_val, topk_idx = jax.lax.top_k(flat_vals, topk + 1)
+    t_small = jnp.sum(
+        (topk_val[:, topk:topk + 1] > thresholds[None, :]).astype(jnp.int32),
+        axis=1,
+    )
+    zk = topk_idx[:, :topk] // (size * size)
+    rem = topk_idx[:, :topk] % (size * size)
+    topk_pos = jnp.stack([zk, rem // size, rem % size], axis=-1).astype(
+        jnp.int32
+    )  # [N, topk, 3]
 
     # [B, B²] layout: fully-populated, 128-aligned lane axis (see module doc)
     flatten = lambda a: a.reshape(n, size, size * size)
@@ -213,7 +260,8 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, interpret=False):
     dt_f = flatten(dt_orig)
 
     grid = (n, T // chunk)
-    kernel = functools.partial(_sweep_kernel, chunk=chunk, size=size)
+    kernel = functools.partial(_sweep_kernel, chunk=chunk, size=size,
+                               topk=topk)
     # index maps receive the scalar-prefetch refs as trailing arguments
     vol_spec = lambda: pl.BlockSpec((1, size, size * size),
                                     lambda i, j, *_: (i, 0, 0),
@@ -226,7 +274,7 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, interpret=False):
     ab, ba, cnt = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=[vol_spec(), vol_spec(), vol_spec()],
             out_specs=(out_spec, out_spec, out_spec),
@@ -237,5 +285,6 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, interpret=False):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(first_empty, thresholds, x_hat_f, occ_f, dt_f)
+    )(first_empty, t_small, thresholds, topk_val[:, :topk], topk_pos,
+      x_hat_f, occ_f, dt_f)
     return ab, ba, cnt, dt_orig

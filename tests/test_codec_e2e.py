@@ -209,3 +209,21 @@ def test_device_opt_with_normals_d2():
         dec = codec.decompress_blocks(payload)
         for d, e in zip(dec, meta["x_hat_list"]):
             np.testing.assert_array_equal(d, e)
+
+
+def test_warmup_compiles_all_paths():
+    """BlockCodec.warmup must exercise every executable without error and
+    leave the codec usable (regression guard for the bench warm path)."""
+    pts = _random_cloud(11)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3, LEVEL)
+    codec = _init_codec(
+        dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+             synthesis="SynthesisTransformV1")
+    )
+    codec.warmup(blocks)
+    data_list, metadata = codec.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL
+    )
+    dec = codec.decompress_blocks(data_list[0])
+    for d, e in zip(dec, metadata[0]["x_hat_list"]):
+        np.testing.assert_array_equal(d, e)

@@ -28,7 +28,7 @@ from pcc_geo_cnn_v2_tpu.utils.data import BlockDataset, synthetic_blocks
 from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-LAMBDAS = [3e-5, 1e-4, 5e-4]
+LAMBDAS = [1e-5, 1e-4, 1e-3]
 
 
 def eval_cloud():
