@@ -38,18 +38,19 @@ def load_curves(experiment_dir, pc_name, metric_key, opt_group,
     return {k: sorted(v) for k, v in curves.items()}
 
 
-def plot_rd(curves, title, ylabel, out_path):
+def plot_rd(curves, title, ylabel, out_path, style_order=None):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from pcc_geo_cnn_v2_tpu.utils.plots import set_paper_style, style_cycle
+    from pcc_geo_cnn_v2_tpu.utils.plots import set_paper_style, style_for
 
     set_paper_style()
+    style_order = style_order or sorted(curves)
     fig, ax = plt.subplots(figsize=(5, 4))
-    for (mode, pts), (marker, ls) in zip(sorted(curves.items()),
-                                         style_cycle()):
+    for mode, pts in sorted(curves.items()):
+        marker, ls = style_for(mode, style_order)
         arr = np.array(pts)
         ax.plot(arr[:, 0], arr[:, 1], marker=marker, linestyle=ls,
                 markersize=4, label=mode)
@@ -93,6 +94,9 @@ def main(argv=None):
     parser.add_argument("--bd_ignore", nargs="*", default=[],
                         help="mode_id/lambda entries to drop from BD stats")
     parser.add_argument("--no_plot", action="store_true")
+    parser.add_argument("--style_modes", nargs="*", default=None,
+                        help="global mode list fixing each mode's plot "
+                             "style across figures (shared legends)")
     args = parser.parse_args(argv)
 
     group = args.opt_group or args.metric[:2]
@@ -115,7 +119,8 @@ def main(argv=None):
     snr_df.to_csv(out / f"{args.pc_name}_{args.metric}_bdsnr.csv")
     if not args.no_plot:
         plot_rd(curves, args.pc_name, args.metric.replace("_", " ").upper(),
-                out / f"{args.pc_name}_{args.metric}_rd.png")
+                out / f"{args.pc_name}_{args.metric}_rd.png",
+                style_order=args.style_modes)
     logger.info("wrote %s and BD matrices", data_path)
 
 

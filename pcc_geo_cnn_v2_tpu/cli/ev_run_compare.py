@@ -30,12 +30,23 @@ def main(argv=None):
     results.mkdir(parents=True, exist_ok=True)
     bd_ignore = spec.get("bd_ignore", [])
 
+    # global mode list up front: fixes each mode's plot style across all
+    # figures so the shared legend strip stays truthful even when a PC is
+    # missing a mode
+    import glob as _glob
+    style_modes = sorted({
+        Path(p).parts[-3]
+        for p in _glob.glob(str(exp_dir / "*" / "*" / "*" / "report_*.json"))
+    })
+
     for data in spec["data"]:
         for metric in args.metrics:
             try:
                 ev_compare.main(
                     [str(exp_dir), data["pc_name"], str(results),
                      "--metric", metric, "--bd_ignore", *bd_ignore]
+                    + (["--style_modes", *style_modes] if style_modes
+                       else [])
                     + (["--no_plot"] if args.no_plot else [])
                 )
             except AssertionError:
@@ -53,7 +64,8 @@ def main(argv=None):
                 render_standalone_legend,
             )
 
-            render_standalone_legend(sorted(modes), results / "legend.png")
+            render_standalone_legend(style_modes or sorted(modes),
+                                     results / "legend.png")
 
     # merge
     for kind in ("data", "bdrate", "bdsnr"):

@@ -32,13 +32,14 @@ def auto_camera_params(points, img_size=1024, axis=2):
     eye = center.copy()
     eye[axis] += 2.5 * span
     f = img_size  # ~22° fov
-    # look-at extrinsic: camera -z toward the cloud along `axis`
+    # look-at extrinsic in Open3D/OpenCV convention: camera +z points AT
+    # the cloud, y down, x right (rot @ (center - eye) lands on +z)
     fwd = (center - eye) / np.linalg.norm(center - eye)
     up = np.array([0.0, 1.0, 0.0]) if axis != 1 else np.array([0.0, 0.0, 1.0])
-    right = np.cross(up, -fwd)
+    right = np.cross(up, fwd)
     right /= np.linalg.norm(right)
-    true_up = np.cross(-fwd, right)
-    rot = np.stack([right, true_up, -fwd])  # world→camera
+    down = np.cross(fwd, right)
+    rot = np.stack([right, down, fwd])  # world→camera
     trans = -rot @ eye
     extrinsic = np.eye(4)
     extrinsic[:3, :3] = rot

@@ -656,16 +656,28 @@ class BlockCodec:
 
         opt_names = results[0][0]
         threshold_list = [r[1] for r in results]  # [block][metric]
-        # per metric -> per block candidate point lists
-        x_hat_points = [
-            [
+        # per metric -> per block candidate point lists, from the DECODER's
+        # mask executable (not this path's x_hat): the threshold search
+        # above may use the fused x_hat freely, but embedded reconstructions
+        # must be bit-identical to decompress_blocks output (one-ulp fusion
+        # drift near a picked threshold would flip voxels otherwise)
+        mask_fn = self._decode_y_mask if self.is_v2 else self._decode_mask
+        bsz = self.block_size
+        x_hat_points = []
+        for col in map(list, zip(*threshold_list)):
+            packed = self._run_chunked(
+                mask_fn,
+                [out["y_sym"],
+                 self.thresholds[np.asarray(col)].astype(np.float32)],
+                n,
+            )
+            x_hat_points.append([
                 np.argwhere(
-                    out["x_hat"][i, ..., 0] > self.thresholds[t]
+                    np.unpackbits(packed[i], bitorder="big")
+                    .reshape(bsz, bsz, bsz)
                 ).astype(np.float32)
-                for i, t in enumerate(col)
-            ]
-            for col in map(list, zip(*threshold_list))
-        ]
+                for i in range(n)
+            ])
         metadata = select_best_per_opt_metric(
             binstr, x_hat_points, level, opt_names, points, resolution,
             with_normals,

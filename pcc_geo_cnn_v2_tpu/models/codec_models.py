@@ -65,12 +65,6 @@ class CompressionModelV1(nn.Module):
         x_hat = self.decode(y_sym)
         return {"y_sym": y_sym, "x_hat": x_hat}
 
-    def encode_symbols(self, x):
-        """Analysis + quantize only — no decode path (the codec driver
-        derives x_hat/picks from the decoder executables instead)."""
-        y = self.analysis_t(x).astype(jnp.float32)
-        return {"y_sym": self.entropy_bottleneck.quantize_symbols(y)}
-
     def decode(self, y_sym):
         y_hat = self.entropy_bottleneck.dequantize_symbols(y_sym)
         x_hat = self.synthesis_t(y_hat).astype(jnp.float32)
@@ -136,15 +130,6 @@ class CompressionModelV2(nn.Module):
         sigma, y_idx = self.decode_z(z_sym)
         x_hat = self.decode_y(y_sym)
         return {"z_sym": z_sym, "y_sym": y_sym, "y_idx": y_idx, "x_hat": x_hat}
-
-    def encode_symbols(self, x):
-        """Analysis stacks + quantize only — no decode path (the codec
-        driver derives y_idx/x_hat/picks from the decoder executables)."""
-        y = self.analysis_t(x)
-        z = self.hyper_analysis_t(y).astype(jnp.float32)
-        return {"z_sym": self.entropy_bottleneck.quantize_symbols(z),
-                "y_sym": self.conditional.quantize_symbols(
-                    y.astype(jnp.float32))}
 
     def decode_z(self, z_sym):
         """ẑ symbols → (σ̂, per-element y CDF-row indexes)."""

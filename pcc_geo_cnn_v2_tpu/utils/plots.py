@@ -18,6 +18,7 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "set_paper_style",
     "style_cycle",
+    "style_for",
     "render_standalone_legend",
     "make_colorbar",
 ]
@@ -54,6 +55,16 @@ def style_cycle():
     )
 
 
+def style_for(mode, style_order=None):
+    """(marker, linestyle) for ``mode``, keyed by its position in
+    ``style_order`` (the sweep's GLOBAL sorted mode list) so a mode keeps
+    its style in every figure even when some figures miss some modes."""
+    table = [(m, ls) for ls in LINESTYLES for m in MARKERS]
+    if style_order and mode in style_order:
+        return table[list(style_order).index(mode) % len(table)]
+    return table[hash(mode) % len(table)]
+
+
 def render_standalone_legend(labels, out_path, ncol=None, figsize=None):
     """Write a legend-only figure shared by a grid of RD plots.
 
@@ -72,7 +83,8 @@ def render_standalone_legend(labels, out_path, ncol=None, figsize=None):
     fig = plt.figure(figsize=figsize or (max(2, 1.6 * ncol), 0.6))
     ax = fig.add_subplot(111)
     handles = []
-    for label, (marker, ls) in zip(labels, style_cycle()):
+    for label in labels:
+        marker, ls = style_for(label, labels)
         (h,) = ax.plot([], [], marker=marker, linestyle=ls, label=label,
                        markersize=4)
         handles.append(h)
@@ -96,7 +108,6 @@ def make_colorbar(vmax, cmap="inferno", label="squared error",
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.cm as cm
     import matplotlib.pyplot as plt
     from matplotlib.colorbar import ColorbarBase
     from matplotlib.colors import Normalize
@@ -105,7 +116,7 @@ def make_colorbar(vmax, cmap="inferno", label="squared error",
     norm = Normalize(vmin=0.0, vmax=vmax)
     ColorbarBase(ax, cmap=plt.get_cmap(cmap), norm=norm, label=label)
     fig.tight_layout()
-    cmap_fn = lambda err: cm.get_cmap(cmap)(
+    cmap_fn = lambda err: plt.get_cmap(cmap)(
         norm(np.asarray(err, np.float64))
     )[..., :3]
     return fig, cmap_fn

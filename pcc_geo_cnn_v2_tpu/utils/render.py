@@ -58,8 +58,7 @@ def ortho_render(points, colors=None, axis=2, img_size=1024, flip=True):
 
 def error_colormap(points, reference_points, cmap="inferno", vmax=None):
     """Per-point D1 error colors (reference ut_run_render.py:149-251)."""
-    import matplotlib.cm as cm
-    from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics  # noqa: F401
+    from matplotlib import pyplot as plt
     from scipy.spatial import cKDTree
 
     t = cKDTree(np.asarray(reference_points)[:, :3], balanced_tree=False)
@@ -68,7 +67,7 @@ def error_colormap(points, reference_points, cmap="inferno", vmax=None):
     if vmax is None:
         vmax = max(np.percentile(err, 99), 1e-9)
     norm = np.clip(err / vmax, 0, 1)
-    colors = cm.get_cmap(cmap)(norm)[:, :3]
+    colors = plt.get_cmap(cmap)(norm)[:, :3]
     return colors, err, vmax
 
 

@@ -119,5 +119,11 @@ def test_pc_to_camera_params_auto(tmp_path):
     assert params["class_name"] == "PinholeCameraParameters"
     assert len(params["extrinsic"]) == 16
     ext = np.array(params["extrinsic"]).reshape(4, 4).T
-    rot = ext[:3, :3]
+    rot, trans = ext[:3, :3], ext[:3, 3]
     np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-9)
+    # Open3D/OpenCV convention: the cloud center must land on +z, in
+    # front of the camera (a look-away extrinsic renders nothing)
+    center = (pts.min(0) + pts.max(0)) / 2.0
+    cam = rot @ center + trans
+    assert cam[2] > 0, cam
+    np.testing.assert_allclose(cam[:2], 0.0, atol=1e-6)
