@@ -105,3 +105,27 @@ def test_matches_reference_fixed_threshold(ref_model_opt):
     )
     assert list(got_names) == list(want_names)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_compute_metrics_matches_reference(ref_model_opt):
+    """utils.metrics.compute_metrics vs the reference's pc_metric oracle
+    (D1 exact; D2 via the same normal-transfer vote)."""
+    import utils.pc_metric as ref_pc_metric
+
+    from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
+
+    rng = np.random.default_rng(3)
+    p1 = np.unique(rng.integers(0, 64, (500, 3)).astype(np.float64), axis=0)
+    p2 = np.unique(
+        np.clip(np.round(p1 + rng.normal(0, 1.2, p1.shape)), 0, 63), axis=0
+    )
+    n1 = rng.normal(size=(len(p1), 3))
+    n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
+    want = ref_pc_metric.compute_metrics(p1, p2, 63, p1_n=n1)
+    got = compute_metrics(p1, p2, 63, p1_n=n1)
+    for key in ("d1_sum_AB", "d1_sum_BA", "d1_mse", "d1_psnr"):
+        np.testing.assert_allclose(got[key], want[key], rtol=0,
+                                   err_msg=key)
+    for key in ("d2_sum_AB", "d2_sum_BA", "d2_mse", "d2_psnr"):
+        np.testing.assert_allclose(got[key], want[key], rtol=1e-9,
+                                   err_msg=key)

@@ -28,7 +28,11 @@ from pcc_geo_cnn_v2_tpu.utils.data import BlockDataset, synthetic_blocks
 from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-LAMBDAS = [1e-5, 1e-4, 1e-3]
+# warm-seq (reference tr_train_all.py:57-61): full training at the middle
+# λ, then short fine-tunes chained to the neighbours — RD separation at a
+# fraction of the cost of independent runs
+LAMBDAS = [3e-4, 3e-5, 3e-3]
+FINETUNE_FRAC = 4
 
 
 def eval_cloud():
@@ -46,19 +50,26 @@ def main():
     ds = BlockDataset(synthetic_blocks(192, block_size=64, seed=1),
                       max_points=4096)
     results = []
-    for lmbda in LAMBDAS:
+    base_params = None
+    for j, lmbda in enumerate(LAMBDAS):
         model = build_model("c3p")
         cfg = TrainConfig(block_size=64, batch_size=8, lmbda=lmbda)
         state = create_train_state(model, jax.random.PRNGKey(0), cfg)
+        steps = STEPS
+        if base_params is not None:  # warm-seq fine-tune from the base λ
+            state = state.replace(params=base_params)
+            steps = STEPS // FINETUNE_FRAC
         step_fn = make_train_step(model, cfg)
         it = ds.batches(cfg.batch_size, seed=0)
         rng = jax.random.PRNGKey(1)
         t0 = time.time()
-        for i in range(STEPS):
+        for i in range(steps):
             rng, k = jax.random.split(rng)
             state, logs = step_fn(state, jnp.asarray(next(it)), k)
         logs = jax.device_get(logs)
-        print(f"λ={lmbda:g}: trained {STEPS} steps in {time.time()-t0:.0f}s "
+        if j == 0:
+            base_params = state.params
+        print(f"λ={lmbda:g}: trained {steps} steps in {time.time()-t0:.0f}s "
               f"(mbpov {logs['mbpov']:.2f})", flush=True)
         codec = BlockCodec(model, jax.device_get(state.params),
                            block_size=64, batch_blocks=32)
@@ -74,7 +85,10 @@ def main():
         print(f"λ={lmbda:g}: {bpp:.3f} bpp @ {psnr:.2f} dB D1", flush=True)
         results.append({"lmbda": lmbda, "bpp": bpp, "d1_psnr": psnr})
 
+    results.sort(key=lambda r: r["lmbda"])
     print(json.dumps(results, indent=2))
+    Path("results").mkdir(exist_ok=True)
+    Path("results/synthetic_rd.json").write_text(json.dumps(results, indent=2))
     bpps = [r["bpp"] for r in results]
     psnrs = [r["d1_psnr"] for r in results]
     assert all(b2 > b1 for b1, b2 in zip(bpps, bpps[1:])), (
