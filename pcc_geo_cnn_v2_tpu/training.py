@@ -265,7 +265,8 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, logs = self.step_fn(self.state, jnp.asarray(batch),
                                             step_rng)
-            if step % cfg.log_every == 0:
+            # always log the first step so short runs still produce curves
+            if step % cfg.log_every == 0 or step == self.start_step + 1:
                 logs = jax.device_get(logs)
                 self._log(step, "train", logs,
                           {"steps_per_sec": cfg.log_every / (time.time() - t0)})
