@@ -44,14 +44,16 @@ def main(argv=None):
     parser.add_argument("--lower_better", action="store_true")
     args = parser.parse_args(argv)
 
-    df = pd.read_csv(args.bd_csv, index_col=0)
+    # merged format (ev_run_compare): [source, <unnamed mode index>, modes…]
+    df = pd.read_csv(args.bd_csv)
+    mode_col = df.columns[1]
     rows = {}
     for src, group in df.groupby("source"):
         pc = src.rsplit("_", 2)[0]
-        g = group.set_index(group.columns[1])
+        g = group.set_index(mode_col).drop(columns=["source"])
         if args.anchor not in g.index:
             continue
-        rows[pc] = g.loc[args.anchor].drop("source", errors="ignore")
+        rows[pc] = g.loc[args.anchor].drop(args.anchor, errors="ignore")
     table = pd.DataFrame(rows).T.astype(float)
     tex = format_table(table, higher_better=not args.lower_better)
     Path(args.output_tex).write_text(tex)

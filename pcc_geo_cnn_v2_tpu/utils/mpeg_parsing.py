@@ -59,9 +59,14 @@ def parse_pcerror(path):
     out = {
         "d1_mse": _grab(r"mseF      \(p2point\): (.+)", s, float),
         "d1_psnr": _grab(r"mseF,PSNR \(p2point\): (.+)", s, float),
-        "d2_mse": _grab(r"mseF      \(p2plane\): (.+)", s, float),
-        "d2_psnr": _grab(r"mseF,PSNR \(p2plane\): (.+)", s, float),
     }
+    try:
+        out.update({
+            "d2_mse": _grab(r"mseF      \(p2plane\): (.+)", s, float),
+            "d2_psnr": _grab(r"mseF,PSNR \(p2plane\): (.+)", s, float),
+        })
+    except ValueError:
+        pass  # no normals → geometry D1 only
     try:
         out.update({
             "y_mse": _grab(r"c\[0\],    F         : (.+)", s, float),
