@@ -408,7 +408,7 @@ class BlockCodec:
             elif backend == "pallas":
                 picks = select_thresholds_d1_pallas(
                     occ, x_hat, thresholds, opt_metrics=opt_metrics,
-                    max_deltas=max_deltas,
+                    max_deltas=max_deltas, pts=pts,
                 )
             else:
                 picks = select_thresholds_d1_batch(

@@ -199,16 +199,42 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16):
     }
 
 
-def resolve_outliers(queries, blocks, origins, size):
-    """Exact NN dist² of each query against a blockwise cloud, without a
-    KD-tree over the whole cloud: per ring level r, ONE tree over the union
-    of blocks within Chebyshev r of every pending query's cell. A result is
-    certified when d ≤ r·size — each query's own ring-r neighborhood is a
-    subset of the union, and points outside its ring-r are > r·size away."""
+def resolve_outliers(queries, blocks, origins, size,
+                     full_tree_limit=20_000_000):
+    """Exact NN dist² of each query against a blockwise cloud.
+
+    Clouds up to ``full_tree_limit`` points take one KD-tree over the whole
+    cloud — a sub-second build that the ring search below cannot beat (its
+    per-ring unions approach the full cloud whenever outliers are spread
+    across many cells, and it rebuilds a tree per ring; measured 8.7 s vs
+    ~0.6 s on a 0.5 M-point cloud with ~2 k outliers). Beyond the limit:
+    per ring level r, ONE tree over the union of blocks within Chebyshev r
+    of every pending query's cell. A result is certified when d ≤ r·size —
+    each query's own ring-r neighborhood is a subset of the union, and
+    points outside its ring-r are > r·size away."""
     from scipy.spatial import cKDTree
 
     queries = np.asarray(queries, np.float64)
     origins = np.asarray(origins, np.int64)
+    n_total = sum(len(b) for b in blocks)
+    logger.info("resolve_outliers: %d queries vs %d blocks / %d points",
+                len(queries), len(blocks), n_total)
+    if n_total <= full_tree_limit:
+        import time
+
+        t0 = time.time()
+        pts = np.vstack(
+            [np.asarray(b)[:, :3] + o for b, o in zip(blocks, origins)
+             if len(b)]
+        )
+        t1 = time.time()
+        tree = cKDTree(pts, balanced_tree=False)
+        t2 = time.time()
+        d, _ = tree.query(queries[:, :3], workers=-1)
+        logger.info("resolve full-tree: vstack %.2fs build %.2fs query %.2fs"
+                    " (%d pts, %d queries)", t1 - t0, t2 - t1,
+                    time.time() - t2, len(pts), len(queries))
+        return d ** 2
     omap = {tuple(o): i for i, o in enumerate((origins // size).tolist())}
     max_ring = int(np.ceil(
         (origins.max() + size) / size
@@ -260,15 +286,21 @@ def d1_metrics_from_sums(sums, r, points_a=None, points_b=None,
 
         return q
 
+    import time
+
     ab_sum, ba_sum = sums["ab_sum"], sums["ba_sum"]
     if len(sums["outliers_a"]):
+        t0 = time.time()
         fn = resolve_a or _kd(points_b)
         ab_sum += float(np.sum(fn(sums["outliers_a"])))
-        logger.info("resolved %d A-outliers on host", len(sums["outliers_a"]))
+        logger.info("resolved %d A-outliers on host (%.2fs)",
+                    len(sums["outliers_a"]), time.time() - t0)
     if len(sums["outliers_b"]):
+        t0 = time.time()
         fn = resolve_b or _kd(points_a)
         ba_sum += float(np.sum(fn(sums["outliers_b"])))
-        logger.info("resolved %d B-outliers on host", len(sums["outliers_b"]))
+        logger.info("resolved %d B-outliers on host (%.2fs)",
+                    len(sums["outliers_b"]), time.time() - t0)
 
     from pcc_geo_cnn_v2_tpu.utils.metrics import psnr
 

@@ -21,8 +21,8 @@ Layout: volumes ride as [B, B²] (z, y·B+x). The lane axis is then B² = 4096
 for 64³ blocks — fully populated 128-wide vregs, and both the x- and
 y-axis passes become *lane rotations* (by k and by B·k) with iota masks
 (``tpu.dynamic_rotate`` requires a 128-aligned lane dim; a [.., 64] lane
-layout is both unaligned and half-wasted). The z pass is a forward+backward
-linear-distance two-scan over sublanes (exact for the binary first pass).
+layout is both unaligned and half-wasted). The z pass is a log-step
+doubling min-plus over sublane rotations (exact for the binary first pass).
 
 Thresholds at or past a block's first empty candidate set are skipped via
 ``@pl.when`` (their metrics are ineligible by construction — the selection
@@ -52,53 +52,61 @@ __all__ = ["d1_sweep_sums_pallas"]
 BIG = 1e9  # linear-distance infinity (BIG² stays finite in f32)
 
 
-def _axis_ray_dist(mask, size, stride, pos):
-    """Exact 1-D L1 distance to the nearest ``mask`` voxel along one lane
+def _axis_ray_dist(mask, size, stride, pos, kmax=None):
+    """1-D L1 distance to the nearest ``mask`` voxel along one lane
     axis (x: stride=1, y: stride=B) via log-step doubling propagation:
-    any gap k ≤ B-1 decomposes into binary jumps, min keeps the best."""
+    any gap k ≤ B-1 decomposes into binary jumps, min keeps the best.
+    With ``kmax``, steps with s > kmax are skipped — exact ≤ kmax,
+    overestimates beyond (valid for upper-bound uses)."""
     flat = mask.shape[-1]
     d = jnp.where(mask, 0.0, BIG)
     s = 1
     while s < size:
-        fs = jnp.float32(s)
-        fwd = pltpu.roll(d, flat - s * stride, 1)  # fwd[i] = d[i + s·stride]
-        d = jnp.minimum(d, jnp.where(pos < size - s, fwd + fs, BIG))
-        bwd = pltpu.roll(d, s * stride, 1)  # bwd[i] = d[i - s·stride]
-        d = jnp.minimum(d, jnp.where(pos >= s, bwd + fs, BIG))
+        def step(d, s=s):
+            fs = jnp.float32(s)
+            fwd = pltpu.roll(d, flat - s * stride, 1)  # [i] = d[i + s·str]
+            d = jnp.minimum(d, jnp.where(pos < size - s, fwd + fs, BIG))
+            bwd = pltpu.roll(d, s * stride, 1)  # [i] = d[i - s·stride]
+            return jnp.minimum(d, jnp.where(pos >= s, bwd + fs, BIG))
+
+        if kmax is None:
+            d = step(d)
+        else:
+            d = jax.lax.cond(s <= kmax, step, lambda d: d, d)
         s *= 2
     return d
 
 
-def _z_linear_scan(scratch, mask, size, unroll=None):
-    """Exact 1-D L1 distance along the sublane (z) axis: forward +
-    backward running-distance scans through the scratch ref (Mosaic can
-    dynamic-slice refs, not value sublanes). Leaves the result in scratch
-    and returns it. Row updates are sequential; unrolling only amortizes
-    loop overhead; it must divide size - 1 (63 = 9·7)."""
-    if unroll is None:
-        unroll = max(d for d in range(1, 9) if (size - 1) % d == 0)
-    assert (size - 1) % unroll == 0, (size, unroll)
-    scratch[...] = jnp.where(mask, 0.0, BIG)
+def _z_doubling_dist(mask, size, z_pos, kmax=None):
+    """1-D L1 distance to the nearest ``mask`` voxel along the sublane (z)
+    axis via log-step doubling sublane rotations, exact for all true
+    distances ≤ ``kmax`` (everywhere if kmax is None). Exactness: linear
+    costs decompose into binary jumps (any gap k = Σ 2^i applied in
+    increasing step order, same sign), so min-plus doubling reaches every
+    offset ≤ 2^m - 1 after the step s = 2^(m-1); steps with s > kmax are
+    skipped (``lax.cond`` on the traced bound) — values beyond kmax may be
+    overestimates, which callers mask out exactly as with the bounded
+    min-plus passes. ~2·log₂(min(kmax,size)) full-volume VPU ops —
+    replaces a 126-step sequential single-sublane scan that left the VPU
+    8× idle."""
+    d = jnp.where(mask, 0.0, BIG)
+    s = 1
+    while s < size:
+        def step(d, s=s):
+            fs = jnp.float32(s)
+            fwd = pltpu.roll(d, size - s, 0)  # fwd[i] = d[i + s]
+            d = jnp.minimum(d, jnp.where(z_pos < size - s, fwd + fs, BIG))
+            bwd = pltpu.roll(d, s, 0)  # bwd[i] = d[i - s]
+            return jnp.minimum(d, jnp.where(z_pos >= s, bwd + fs, BIG))
 
-    def fwd(jj, carry):
-        for u in range(unroll):
-            j = jj * unroll + u + 1
-            scratch[pl.ds(j, 1), :] = jnp.minimum(
-                scratch[pl.ds(j, 1), :], scratch[pl.ds(j - 1, 1), :] + 1.0
-            )
-        return carry
-
-    def bwd(jj, carry):
-        for u in range(unroll):
-            j = size - 2 - (jj * unroll + u)
-            scratch[pl.ds(j, 1), :] = jnp.minimum(
-                scratch[pl.ds(j, 1), :], scratch[pl.ds(j + 1, 1), :] + 1.0
-            )
-        return carry
-
-    jax.lax.fori_loop(0, (size - 1) // unroll, fwd, 0)
-    jax.lax.fori_loop(0, (size - 1) // unroll, bwd, 0)
-    return scratch[...]
+        if kmax is None:
+            d = step(d)
+        else:
+            # after steps 1..s all offsets ≤ 2s-1 are reached, so the
+            # first skipped step (s > kmax) certifies offsets ≤ kmax
+            d = jax.lax.cond(s <= kmax, step, lambda d: d, d)
+        s *= 2
+    return d
 
 
 def _min_plus_rolls(scratch, size, stride, pos, kmax, unroll=4):
@@ -123,7 +131,7 @@ def _min_plus_rolls(scratch, size, stride, pos, kmax, unroll=4):
 
 
 def _sweep_kernel(first_empty_ref, t_small_ref, thr_ref, topk_val_ref,
-                  topk_pos_ref, x_hat_ref, occ_ref, dt_ref,
+                  topk_pos_ref, kmax_coarse_ref, x_hat_ref, occ_ref, dt_ref,
                   ab_ref, ba_ref, cnt_ref, scratch, *, chunk, size, topk):
     block_id = pl.program_id(0)
     chunk_id = pl.program_id(1)
@@ -146,22 +154,32 @@ def _sweep_kernel(first_empty_ref, t_small_ref, thr_ref, topk_val_ref,
         row = ref[pl.ds(block_id, 1), :]
         ref[pl.ds(block_id, 1), :] = jnp.where(lane_t == t_global, value, row)
 
-    # Chunk-level shift bound: candidate sets are nested, so one ray bound
+    # Chunk-level shift bound: candidate sets are nested, so one bound
     # computed on the chunk's SMALLEST set still on the EDT path (largest
     # t < t_small in the chunk) upper-bounds every occupied voxel's NN
-    # distance for all EDT thresholds in the chunk. Amortizes the doubling
-    # passes 1/chunk. Thresholds ≥ t_small take the top-k branch instead,
-    # which keeps the sparse-set tail (huge NN distances) out of the bound.
+    # distance for all EDT thresholds in the chunk. Two bounds are min'd:
+    # (a) the coarse-grid EDT bound computed outside the kernel (robust —
+    # finite for any non-empty set; axis rays MISS sparse 3D sets almost
+    # surely, which used to collapse the bound to size-1 and made mid-
+    # density thresholds run full-length min-plus passes), and (b) the
+    # per-axis ray bound below (tighter on dense sets), itself run with
+    # the coarse bound so its doubling stops early. Thresholds ≥ t_small
+    # are computed outside the kernel (prefix-min) or by the top-k branch,
+    # keeping the sparse-set tail (huge NN distances) out of the bound.
+    kc = kmax_coarse_ref[block_id, chunk_id]
     t_last = jnp.clip(
         jnp.minimum(chunk_id * chunk + chunk - 1,
                     jnp.minimum(first_empty, t_small) - 1), 0, T - 1
     )
     mask_last = x_hat > thr_ref[t_last]
-    ray = _z_linear_scan(scratch, mask_last, size)
-    ray = jnp.minimum(ray, _axis_ray_dist(mask_last, size, size, y_pos))
-    ray = jnp.minimum(ray, _axis_ray_dist(mask_last, size, 1, x_pos))
+    ray = _z_doubling_dist(mask_last, size, z_pos, kmax=kc)
+    ray = jnp.minimum(ray, _axis_ray_dist(mask_last, size, size, y_pos,
+                                          kmax=kc))
+    ray = jnp.minimum(ray, _axis_ray_dist(mask_last, size, 1, x_pos,
+                                          kmax=kc))
     kmax_f = jnp.max(jnp.where(occ_b, ray, 0.0))
     kmax = jnp.minimum(kmax_f, jnp.float32(size - 1)).astype(jnp.int32)
+    kmax = jnp.minimum(kmax, kc)
 
     for t in range(chunk):
         t_global = chunk_id * chunk + t
@@ -175,9 +193,10 @@ def _sweep_kernel(first_empty_ref, t_small_ref, thr_ref, topk_val_ref,
 
             @pl.when(t_global < t_small)
             def _(t_global=t_global, thr=thr, mask=mask):
-                # exact squared-EDT at occupied voxels: z two-scan (exact
-                # 1-D) squared, then bounded y/x min-plus passes
-                lin_z = _z_linear_scan(scratch, mask, size)
+                # exact squared-EDT at occupied voxels: bounded z doubling
+                # pass (any true NN at D ≤ kmax² has |dz| ≤ kmax) squared,
+                # then bounded y/x min-plus passes
+                lin_z = _z_doubling_dist(mask, size, z_pos, kmax=kmax)
                 scratch[...] = jnp.minimum(lin_z * lin_z, INF)
                 _min_plus_rolls(scratch, size, size, y_pos, kmax)
                 _min_plus_rolls(scratch, size, 1, x_pos, kmax)
@@ -186,6 +205,12 @@ def _sweep_kernel(first_empty_ref, t_small_ref, thr_ref, topk_val_ref,
 
             @pl.when(t_global >= t_small)
             def _(t_global=t_global, thr=thr):
+                if topk == 0:
+                    # sparse thresholds are computed outside the kernel by
+                    # the points×candidates prefix-min path (see wrapper);
+                    # store a placeholder the wrapper overwrites.
+                    _store(ab_ref, t_global, INF)
+                    return
                 # count ≤ topk ⇒ the candidate set is exactly the top-k
                 # voxels with value > thr: AB from k point-distance planes
                 # built from iotas — no EDT, immune to the sparse-set
@@ -213,9 +238,10 @@ def _sweep_kernel(first_empty_ref, t_small_ref, thr_ref, topk_val_ref,
             _store(ab_ref, t_global, INF)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "topk", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "topk", "interpret", "sparse_k"))
 def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
-                         interpret=False):
+                         interpret=False, pts=None, sparse_k=256):
     """Batched sweep sums via the Pallas kernel.
 
     :param x_hat: [N, B, B, B] decoded probabilities.
@@ -223,7 +249,17 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
     :param thresholds: [T] ascending (T % chunk == 0).
     :param topk: thresholds whose candidate set has ≤ topk voxels take the
         brute-force point-distance branch (any |S_t| ≤ k set is contained
-        in the top-k-by-value voxels — see kernel).
+        in the top-k-by-value voxels — see kernel). Ignored when ``pts``
+        is given.
+    :param pts: optional [N, P, 3] int occupied-voxel coordinates (rows of
+        -1 are padding; must cover exactly the occupied voxels of ``occ``).
+        When given, every threshold whose candidate set has ≤ ``sparse_k``
+        voxels is computed OUTSIDE the kernel by an MXU-friendly
+        points×candidates prefix-min (exact, independent of how far the
+        sparse candidates sit from the surface), and the kernel runs its
+        ray-bounded EDT only on dense sets — whose NN distances, and hence
+        min-plus trip counts, stay small. This removes the sweep's
+        dominant cost: sparse tail thresholds with kmax → B-1.
     :return: (ab_sum [N,T], ba_sum [N,T], count [N,T], dt_orig [N,B,B,B])
     """
     n, size = x_hat.shape[0], x_hat.shape[-1]
@@ -239,19 +275,22 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
     first_empty = jnp.sum(
         (x_max[:, None] > thresholds[None, :]).astype(jnp.int32), axis=1
     )
-    # top-(k+1) values/positions: count(t) > topk ⟺ the (topk+1)-th largest
+    # top-(k+1) values/positions: count(t) > k ⟺ the (k+1)-th largest
     # value > t, so t_small = #thresholds below that value
+    k_eff = sparse_k if pts is not None else topk
+    kernel_topk = 0 if pts is not None else topk
     flat_vals = x_hat.reshape(n, -1).astype(jnp.float32)
-    topk_val, topk_idx = jax.lax.top_k(flat_vals, topk + 1)
+    topk_val, topk_idx = jax.lax.top_k(flat_vals, k_eff + 1)
     t_small = jnp.sum(
-        (topk_val[:, topk:topk + 1] > thresholds[None, :]).astype(jnp.int32),
+        (topk_val[:, k_eff:k_eff + 1] > thresholds[None, :]).astype(jnp.int32),
         axis=1,
     )
-    zk = topk_idx[:, :topk] // (size * size)
-    rem = topk_idx[:, :topk] % (size * size)
+    n_pos = max(kernel_topk, 1)  # prefetch arrays must be non-empty
+    zk = topk_idx[:, :n_pos] // (size * size)
+    rem = topk_idx[:, :n_pos] % (size * size)
     topk_pos = jnp.stack([zk, rem // size, rem % size], axis=-1).astype(
         jnp.int32
-    )  # [N, topk, 3]
+    )  # [N, n_pos, 3]
 
     # [B, B²] layout: fully-populated, 128-aligned lane axis (see module doc)
     flatten = lambda a: a.reshape(n, size, size * size)
@@ -259,9 +298,47 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
     occ_f = flatten(jnp.asarray(occ, jnp.float32))
     dt_f = flatten(dt_orig)
 
-    grid = (n, T // chunk)
+    # Coarse-grid shift bound per (block, threshold chunk): a g³-cell max-
+    # pool of x_hat turns "cell contains a candidate at threshold t" into
+    # one comparison, a tiny coarse EDT gives each occupied cell's coarse
+    # NN distance D, and any voxel pair across cells at index distance D
+    # is within g·D + (g-1)·√3. Axis rays (the kernel's other bound) miss
+    # sparse 3D sets almost surely; this bound is finite for every
+    # non-empty candidate set and costs ~nothing outside the kernel.
+    g = max(size // 16, 1)
+    cs = size // g
+    cell_max = jnp.max(
+        x_hat.astype(jnp.float32).reshape(n, cs, g, cs, g, cs, g),
+        axis=(2, 4, 6),
+    )  # [n, cs³]
+    occ_cell = jnp.max(
+        jnp.asarray(occ, jnp.float32).reshape(n, cs, g, cs, g, cs, g),
+        axis=(2, 4, 6),
+    ) > 0
+    n_chunks = T // chunk
+    c_idx = jnp.arange(n_chunks, dtype=jnp.int32)
+    te = jnp.minimum(first_empty, t_small)[:, None]
+    t_last = jnp.clip(
+        jnp.minimum(c_idx[None, :] * chunk + chunk - 1, te - 1), 0, T - 1
+    )  # [n, n_chunks]
+    thr_last = thresholds[t_last]
+
+    def _chunk_bound(thr_c):
+        cmask = cell_max > thr_c[:, None, None, None]
+        edt2 = squared_edt(cmask)
+        return jnp.max(
+            jnp.where(occ_cell, edt2, 0.0), axis=(1, 2, 3)
+        )  # [n]
+
+    dmax2 = jax.lax.map(_chunk_bound, jnp.moveaxis(thr_last, 1, 0))
+    kmax_coarse = jnp.clip(
+        jnp.ceil(g * jnp.sqrt(dmax2) + (g - 1) * np.sqrt(3.0)),
+        0, size - 1,
+    ).astype(jnp.int32).T  # [n, n_chunks]
+
+    grid = (n, n_chunks)
     kernel = functools.partial(_sweep_kernel, chunk=chunk, size=size,
-                               topk=topk)
+                               topk=kernel_topk)
     # index maps receive the scalar-prefetch refs as trailing arguments
     vol_spec = lambda: pl.BlockSpec((1, size, size * size),
                                     lambda i, j, *_: (i, 0, 0),
@@ -274,7 +351,7 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
     ab, ba, cnt = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=grid,
             in_specs=[vol_spec(), vol_spec(), vol_spec()],
             out_specs=(out_spec, out_spec, out_spec),
@@ -285,6 +362,66 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(first_empty, t_small, thresholds, topk_val[:, :topk], topk_pos,
-      x_hat_f, occ_f, dt_f)
+    )(first_empty, t_small, thresholds, topk_val[:, :n_pos], topk_pos,
+      kmax_coarse, x_hat_f, occ_f, dt_f)
+    if pts is not None:
+        ab_sparse = _sparse_ab_sums(
+            pts, topk_val[:, :k_eff], topk_idx[:, :k_eff], cnt, size
+        )
+        tidx = jnp.arange(T, dtype=jnp.int32)[None, :]
+        use_sparse = (tidx >= t_small[:, None]) & (tidx < first_empty[:, None])
+        ab = jnp.where(use_sparse, ab_sparse, ab)
     return ab, ba, cnt, dt_orig
+
+
+def _sparse_ab_sums(pts, cand_val, cand_idx, cnt, size):
+    """AB sums for sparse thresholds via points×candidates prefix-min.
+
+    For a threshold with count c ≤ K the candidate set is exactly the
+    first c entries of the top-K-by-value list (``lax.top_k`` returns
+    descending order; count uses the same strict ``>`` comparisons), so
+    d_t(p) = prefix-min over the first c candidates of dist²(p, ·) — one
+    [P, K] distance matrix + one prefix-min scan per block serves all
+    sparse thresholds via a gather at index c-1. Exact, and the cost is
+    independent of how far candidates sit from the original points (the
+    EDT formulation degrades as kmax → B-1 exactly on these thresholds).
+
+    :param pts: [N, P, 3] int occupied voxels, -1 rows = padding.
+    :param cand_val: [N, K] top-K values (descending).
+    :param cand_idx: [N, K] flat indexes of the top-K voxels.
+    :param cnt: [N, T] per-threshold candidate counts (from the kernel).
+    :return: [N, T] AB sums, valid wherever 0 < count ≤ K.
+    """
+    rem = cand_idx % (size * size)
+    cand = jnp.stack(
+        [cand_idx // (size * size), rem // size, rem % size], axis=-1
+    ).astype(jnp.float32)  # [N, K, 3]
+    K = cand.shape[1]
+    idx = jnp.clip(cnt.astype(jnp.int32) - 1, 0, K - 1)  # [N, T]
+
+    # chunk the point axis: dense blocks can pack thousands of points and
+    # [N, P, K] would not fit; each chunk is independent along P
+    P = pts.shape[1]
+    pc = min(P, 512)
+    pad = (-P) % pc
+    pts_p = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)), constant_values=-1)
+    chunks = jnp.moveaxis(
+        pts_p.reshape(pts.shape[0], -1, pc, 3), 1, 0
+    )  # [P/pc, N, pc, 3]
+
+    def one(p_chunk):
+        valid_p = jnp.all(p_chunk >= 0, axis=-1)  # [N, pc]
+        ptsf = p_chunk.astype(jnp.float32)
+        # exact integer-valued f32 distances: elementwise squared
+        # differences (an MXU cross-term at bf16 would lose exactness;
+        # coords ≤ B-1 keep every term exactly representable in f32)
+        d2 = jnp.sum(
+            (ptsf[:, :, None, :] - cand[:, None, :, :]) ** 2, axis=-1
+        )  # [N, pc, K]
+        pm = jax.lax.associative_scan(jnp.minimum, d2, axis=2)  # prefix-min
+        picked = jnp.take_along_axis(pm, idx[:, None, :], axis=2)
+        return jnp.sum(
+            jnp.where(valid_p[:, :, None], picked, 0.0), axis=1
+        )  # [N, T]
+
+    return jnp.sum(jax.lax.map(one, chunks), axis=0)

@@ -298,18 +298,22 @@ def select_thresholds_device(occ, x_hat, thresholds, normals=None,
 def select_thresholds_d1_pallas(occ_batch, x_hat_batch, thresholds,
                                 opt_metrics=("d1_mse",),
                                 max_deltas=(np.inf,), chunk=8,
-                                interpret=False):
+                                interpret=False, pts=None):
     """Batched selection using the Pallas sweep kernel backend.
 
     Identical picks to :func:`select_thresholds_d1_batch`; far less HBM
-    traffic (see ``ops/pallas_sweep.py``).
+    traffic (see ``ops/pallas_sweep.py``). Passing ``pts`` (the packed
+    occupied-voxel lists the encoder already holds) moves sparse-tail
+    thresholds onto the prefix-min path — much faster on real model
+    output.
     """
     from pcc_geo_cnn_v2_tpu.ops.pallas_sweep import d1_sweep_sums_pallas
 
     for m in opt_metrics:
         assert m in D1_METRICS, f"{m} not supported on device"
     ab, ba, cnt, dt_orig = d1_sweep_sums_pallas(
-        x_hat_batch, occ_batch, thresholds, chunk=chunk, interpret=interpret
+        x_hat_batch, occ_batch, thresholds, chunk=chunk, interpret=interpret,
+        pts=pts,
     )
     n_orig = jnp.sum(jnp.asarray(occ_batch, jnp.float32), axis=(1, 2, 3))
 

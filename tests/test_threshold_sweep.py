@@ -160,6 +160,39 @@ def test_pallas_sweep_matches_xla(monkeypatch):
     np.testing.assert_array_equal(picks, np.stack(singles))
 
 
+def test_pallas_sweep_pts_path_matches_xla(monkeypatch):
+    """Sparse-tail prefix-min path (pts given) must select identically."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+        select_thresholds_d1_pallas,
+    )
+
+    thresholds = jnp.asarray(np.linspace(0, 1.0, T), jnp.float32)
+    occs, xhats, singles = [], [], []
+    for seed in range(4):
+        _, occ, x_hat = _case(seed + 50)
+        occs.append(occ)
+        xhats.append(x_hat)
+        singles.append(
+            np.asarray(select_thresholds_d1(
+                jnp.asarray(occ), jnp.asarray(x_hat), thresholds,
+                opt_metrics=("d1_mse", "d1_sum_max"),
+                max_deltas=(np.inf, 3.0),
+            ))
+        )
+    occ_b = np.stack(occs)
+    budget = 1 << int(np.ceil(np.log2(max(int(o.sum()) for o in occ_b))))
+    pts = np.full((len(occ_b), budget, 3), -1, np.int32)
+    for i, o in enumerate(occ_b):
+        c = np.argwhere(o > 0)
+        pts[i, : len(c)] = c
+    picks = np.asarray(select_thresholds_d1_pallas(
+        jnp.asarray(occ_b), jnp.asarray(np.stack(xhats)),
+        thresholds, opt_metrics=("d1_mse", "d1_sum_max"),
+        max_deltas=(np.inf, 3.0), interpret=True, pts=jnp.asarray(pts),
+    ))
+    np.testing.assert_array_equal(picks, np.stack(singles))
+
+
 def test_pallas_sweep_degenerate_empty(monkeypatch):
     from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
         select_thresholds_d1_pallas,
