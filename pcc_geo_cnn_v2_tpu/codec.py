@@ -552,7 +552,6 @@ class BlockCodec:
         from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
             blockwise_d1_sums,
             d1_metrics_from_sums,
-            resolve_outliers,
         )
         from pcc_geo_cnn_v2_tpu.utils.octree import block_origins
 
@@ -582,30 +581,52 @@ class BlockCodec:
                     )
                 return departed_cache[i]
 
-            for nm, i in entries:
-                t0 = time.time()
-                sums = blockwise_d1_sums(
-                    occ_packed, masks_packed[i], origins, self.block_size,
-                    batch=64,
-                )
-                t_sums = time.time() - t0
-                t0 = time.time()
-                if sums["n_b"] == 0:  # all blocks hit the failure guard
-                    metrics_full.append({"d1_psnr": -np.inf})
-                    continue
-                # A-outliers search the (large) decoded cloud: ring search
-                # over its blocks instead of a full KD build
-                resolve_a = (lambda q, i=i: resolve_outliers(
-                    q, x_hat_points[i], origins, self.block_size))
-                metrics_full.append(
-                    d1_metrics_from_sums(sums, resolution - 1,
-                                         points_a=points[:, :3],
-                                         resolve_a=resolve_a)
-                )
-                logger.info("metric %s: sums %.2fs, resolve %.2fs "
-                            "(%d+%d outliers)", nm, t_sums,
-                            time.time() - t0, len(sums["outliers_a"]),
-                            len(sums["outliers_b"]))
+            def build_tree(i):
+                # candidate-cloud KD-tree for A-outlier resolution; built
+                # CONCURRENTLY with the device sums pass below (the host
+                # thread is otherwise blocked on TPU fetches), so the
+                # multi-second build on multi-million-point candidate
+                # clouds costs ~no wall-clock
+                from scipy.spatial import cKDTree
+
+                pts_full = np.vstack(
+                    [b[:, :3] + o for b, o in zip(x_hat_points[i], origins)
+                     if len(b)]
+                ) if any(len(b) for b in x_hat_points[i]) else None
+                if pts_full is None:
+                    return None
+                return cKDTree(pts_full, balanced_tree=False)
+
+            with ThreadPoolExecutor(1) as pool:
+                tree_futs = {i: pool.submit(build_tree, i)
+                             for _, i in entries}
+                for nm, i in entries:
+                    t0 = time.time()
+                    sums = blockwise_d1_sums(
+                        occ_packed, masks_packed[i], origins,
+                        self.block_size, batch=64,
+                    )
+                    t_sums = time.time() - t0
+                    t0 = time.time()
+                    if sums["n_b"] == 0:  # all blocks hit failure guard
+                        metrics_full.append({"d1_psnr": -np.inf})
+                        continue
+
+                    def resolve_a(q, i=i):
+                        d, _ = tree_futs[i].result().query(
+                            q[:, :3], workers=-1
+                        )
+                        return d ** 2
+
+                    metrics_full.append(
+                        d1_metrics_from_sums(sums, resolution - 1,
+                                             points_a=points[:, :3],
+                                             resolve_a=resolve_a)
+                    )
+                    logger.info("metric %s: sums %.2fs, resolve %.2fs "
+                                "(%d+%d outliers)", nm, t_sums,
+                                time.time() - t0, len(sums["outliers_a"]),
+                                len(sums["outliers_b"]))
             scores = [m["d1_psnr"] for m in metrics_full]
             local_best = int(np.argmax(scores))
             nm, best_idx = entries[local_best]

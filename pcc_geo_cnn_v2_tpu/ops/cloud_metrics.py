@@ -119,16 +119,44 @@ def _halo_dir_chunk(qry_nb, tgt_nb, *, size, halo):
     }
 
 
-def _halo_d1_chunk(a_nb, b_nb, *, size, halo):
+@functools.partial(jax.jit, static_argnames=("size", "halo", "interpret"))
+def _halo_dir_chunk_pallas(qry_nb, tgt_nb, *, size, halo, interpret=False):
+    """Pallas-backed :func:`_halo_dir_chunk`: assemble the halo volumes in
+    XLA, run the bounded-EDT kernel (``ops/pallas_halo.py``) in VMEM."""
+    from pcc_geo_cnn_v2_tpu.ops.pallas_halo import halo_d1_dir_pallas
+
+    def unpack(p):
+        return jnp.unpackbits(p.reshape(p.shape[0], 27, -1), axis=-1,
+                              bitorder="big")
+
+    bs = qry_nb.shape[0]
+    H = size + 2 * halo
+    core = slice(halo, halo + size)
+    qry_core = unpack(qry_nb)[:, 13].reshape(bs, size, size, size)
+    qry_vol = jnp.zeros((bs, H, H, H), qry_core.dtype).at[
+        :, core, core, core
+    ].set(qry_core)
+    tgt_vol = _assemble_halo(unpack(tgt_nb), size, halo)
+    return halo_d1_dir_pallas(qry_vol, tgt_vol, size=size, halo=halo,
+                              interpret=interpret)
+
+
+def _halo_d1_chunk(a_nb, b_nb, *, size, halo, backend="xla",
+                   interpret=False):
     """Both directional D1 partial sums for one block chunk.
 
-    Two separate jitted calls by design: fusing both directions into one
-    executable miscompiles on TPU (the second direction's halo volume
-    returns corrupted distances — XLA buffer-reuse bug, reproduced and
-    isolated 2026-08-16; single-direction executables verify exactly).
+    Two separate calls per direction by design: fusing both directions
+    into one executable miscompiles on TPU (the second direction's halo
+    volume returns corrupted distances — XLA buffer-reuse bug, reproduced
+    and isolated 2026-08-16; single-direction executables verify exactly).
     """
-    ab = _halo_dir_chunk(a_nb, b_nb, size=size, halo=halo)
-    ba = _halo_dir_chunk(b_nb, a_nb, size=size, halo=halo)
+    if backend == "pallas":
+        dir_fn = functools.partial(_halo_dir_chunk_pallas, size=size,
+                                   halo=halo, interpret=interpret)
+    else:
+        dir_fn = functools.partial(_halo_dir_chunk, size=size, halo=halo)
+    ab = dir_fn(a_nb, b_nb)
+    ba = dir_fn(b_nb, a_nb)
     out = {}
     for tag, d in (("ab", ab), ("ba", ba)):
         for k, v in d.items():
@@ -136,7 +164,8 @@ def _halo_d1_chunk(a_nb, b_nb, *, size, halo):
     return out
 
 
-def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16):
+def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
+                      backend="auto"):
     """Exact full-cloud directional D1 sums between clouds A and B.
 
     :param a_packed: [N, B³/8] uint8 packed voxel grids (device or host).
@@ -147,6 +176,8 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16):
         coordinates whose NN exceeds the halo (resolve on host).
     """
     n = len(origins)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     nb = neighbor_table(origins, size)
     a_dev = jnp.asarray(a_packed)
     b_dev = jnp.asarray(b_packed)
@@ -166,7 +197,8 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16):
             )
         outs.append(_halo_d1_chunk(jnp.take(a_ext, idx, axis=0),
                                    jnp.take(b_ext, idx, axis=0),
-                                   size=size, halo=halo))
+                                   size=size, halo=halo,
+                                   backend=backend))
     # fetch scalars as ONE device-concatenated transfer per key (fetching
     # per-chunk leaves pays ~50 ms tunnel latency each); outlier bitmaps
     # stay on device — gather only the flagged blocks' rows in one transfer

@@ -305,7 +305,7 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
     # is within g·D + (g-1)·√3. Axis rays (the kernel's other bound) miss
     # sparse 3D sets almost surely; this bound is finite for every
     # non-empty candidate set and costs ~nothing outside the kernel.
-    g = max(size // 16, 1)
+    g = max(size // 32, 1)
     cs = size // g
     cell_max = jnp.max(
         x_hat.astype(jnp.float32).reshape(n, cs, g, cs, g, cs, g),
@@ -325,7 +325,13 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
 
     def _chunk_bound(thr_c):
         cmask = cell_max > thr_c[:, None, None, None]
-        edt2 = squared_edt(cmask)
+        # banded: coarse distances beyond `band` cells yield overestimated
+        # bounds (clipped to size-1), which only cost extra min-plus
+        # iterations on the rare blocks whose dense candidate sets sit far
+        # from the occupied voxels — never wrong values
+        from pcc_geo_cnn_v2_tpu.ops.edt import banded_squared_edt
+
+        edt2 = banded_squared_edt(cmask, min(8, cs - 1))
         return jnp.max(
             jnp.where(occ_cell, edt2, 0.0), axis=(1, 2, 3)
         )  # [n]

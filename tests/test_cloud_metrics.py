@@ -1,5 +1,7 @@
 """Device blockwise full-cloud D1 metrics vs the host KD-tree reference."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -124,3 +126,35 @@ def test_resolve_outliers_matches_kd():
     d2 = resolve_outliers(queries, blocks, origins, size)
     d, _ = cKDTree(cloud).query(queries)
     np.testing.assert_allclose(d2, d ** 2)
+
+
+def test_pallas_halo_dir_matches_xla():
+    """Bounded-EDT Pallas halo kernel (interpret) == XLA banded-EDT path."""
+    from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
+        _halo_dir_chunk,
+        _halo_dir_chunk_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    size, halo, bs = 16, 5, 4
+
+    def packed_random(p_occ):
+        g = rng.random((bs, 27, size ** 3)) < p_occ
+        return jnp.asarray(
+            np.packbits(g.reshape(bs, -1), bitorder="big").reshape(
+                bs, 27, -1
+            )
+        )
+
+    for p in (0.02, 0.0005, 0.0):  # dense, sparse, empty target
+        a = packed_random(0.02)
+        b = packed_random(p)
+        ref = jax.device_get(_halo_dir_chunk(a, b, size=size, halo=halo))
+        new = jax.device_get(
+            _halo_dir_chunk_pallas(a, b, size=size, halo=halo,
+                                   interpret=True)
+        )
+        for k in ("sum", "n", "unres_cnt"):
+            np.testing.assert_allclose(new[k], ref[k], atol=1e-3,
+                                       err_msg=f"{k} p={p}")
+        np.testing.assert_array_equal(new["unres"], ref["unres"])
