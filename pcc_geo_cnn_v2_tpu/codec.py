@@ -45,6 +45,21 @@ def _get_normals(arr, with_normals):
     return arr[:, arr.shape[1] - 3:] if with_normals else None
 
 
+def narrow_symbols(a):
+    """int8 when every symbol fits, else int16.
+
+    Encoder and decoder MUST make this choice identically: the executable
+    (and hence XLA's fusion) depends on the input dtype, and the merged-
+    decode bit-exactness guarantee requires both sides to run the SAME
+    decoder executable. Both sides see identical symbol values (the range
+    coder is lossless), so this range test is a consistent chooser.
+    """
+    a = np.asarray(a)
+    if a.size and -128 <= a.min() and a.max() <= 127:
+        return a.astype(np.int8)
+    return a.astype(np.int16)
+
+
 def select_best_per_opt_metric(binstr, x_hat_list, level, opt_metrics, points,
                                resolution, with_normals,
                                opt_groups=("d1", "d2")):
@@ -209,11 +224,16 @@ class BlockCodec:
         )
 
     @staticmethod
-    def _compact(out):
+    def _compact(out, narrow=False):
         """Shrink device→host transfer dtypes; tunnel bandwidth is scarce.
 
         Symbols travel as int16 with an overflow counter the host asserts
-        on (values beyond ±32k mean the model diverged).
+        on (values beyond ±32k mean the model diverged). With ``narrow``,
+        they travel as int8 plus per-block wide-value counts — trained
+        models rarely emit |symbol| > 127, and the few blocks that do are
+        re-fetched at int16 from the retained device copy (see
+        ``compress_blocks_device_opt``). Halves the dominant device→host
+        stream.
         """
         compact = dict(out)
         overflow = jnp.asarray(0, jnp.int32)
@@ -223,7 +243,16 @@ class BlockCodec:
                 overflow = overflow + jnp.sum(
                     (s16.astype(jnp.int32) != compact[key]).astype(jnp.int32)
                 )
-                compact[key] = s16
+                if narrow:
+                    s8 = jnp.clip(s16, -128, 127).astype(jnp.int8)
+                    wide = jnp.sum(
+                        (s8.astype(jnp.int16) != s16).astype(jnp.int32),
+                        axis=tuple(range(1, s16.ndim)),
+                    )
+                    compact[key] = s8
+                    compact[f"{key}_wide"] = wide
+                else:
+                    compact[key] = s16
         if "y_idx" in compact:
             compact["y_idx"] = compact["y_idx"].astype(jnp.uint8)
         compact["sym_overflow"] = overflow.reshape(1)
@@ -422,7 +451,14 @@ class BlockCodec:
             out["packed_occ"] = jnp.packbits(
                 (occ > 0).reshape(occ.shape[0], -1), axis=-1, bitorder="big"
             )
-            return self._compact(out)
+            res = self._compact(out, narrow=True)
+            # full-width symbols retained on device only (keep_device):
+            # the decoder-canonical passes read them, and rare blocks with
+            # |symbol| > 127 re-fetch their int16 rows from here
+            res["y_sym16"] = out["y_sym"].astype(jnp.int16)
+            if "z_sym" in out:
+                res["z_sym16"] = out["z_sym"].astype(jnp.int16)
+            return res
 
         jitted = jax.jit(fn)
         self._encode_opt_cache[key] = jitted
@@ -457,13 +493,33 @@ class BlockCodec:
         if with_normals:
             arrays.append(pack_attrs(blocks, [3, 4, 5], budget))
         t0 = time.time()
-        # fused encode + sweep; y symbols and occupancy keep device copies
-        # so the canonical/metric passes never re-upload them
+        # fused encode + sweep; full-width symbols and occupancy stay on
+        # device (canonical/metric passes never re-upload them), the host
+        # receives int8 symbols + per-block wide counts
+        keep = ("packed_occ", "y_sym16") + (("z_sym16",) if self.is_v2
+                                            else ())
+        copies = ("y_sym",) + (("z_sym",) if self.is_v2 else ())
         out, dev_keep = self._run_chunked(
             self._encode_opt_fn(opt_metrics, max_deltas, with_normals),
-            arrays, n, keep_device=("packed_occ",), device_copies=("y_sym",),
+            arrays, n, keep_device=keep, device_copies=copies,
         )
         assert int(np.sum(out["sym_overflow"])) == 0, "int16 symbol overflow"
+        # widen int8 symbols; patch the rare wide blocks from device rows.
+        # The canonical passes below feed the int8 device copy when every
+        # block fits (the decoder will then upload int8 and hit the SAME
+        # executable — see narrow_symbols), else the int16 copy.
+        sym_dev = {}
+        for key in ("y_sym", "z_sym") if self.is_v2 else ("y_sym",):
+            wide = np.nonzero(out.pop(f"{key}_wide"))[0]
+            out[key] = out[key].astype(np.int16)
+            sym_dev[key] = (dev_keep[key] if not len(wide)
+                            else dev_keep[f"{key}16"])
+            if len(wide):
+                rows = jax.device_get(
+                    jnp.take(dev_keep[f"{key}16"], jnp.asarray(wide), axis=0)
+                )
+                out[key][wide] = rows
+                logger.info("re-fetched %d wide %s blocks", len(wide), key)
         picks = np.asarray(out["picks"])
         t_device = time.time() - t0
 
@@ -477,7 +533,7 @@ class BlockCodec:
         n_metrics = len(opt_names)
         if self.is_v2:
             out["y_idx"] = self._run_chunked(
-                self._decode_z, [out["z_sym"]], n
+                self._decode_z, [sym_dev["z_sym"]], n
             )
         mask_fn = self._decode_y_mask if self.is_v2 else self._decode_mask
         packed_by_metric = []
@@ -485,7 +541,7 @@ class BlockCodec:
         for m in range(n_metrics):
             host_m, dev_m = self._run_chunked(
                 mask_fn,
-                [dev_keep["y_sym"],
+                [sym_dev["y_sym"],
                  self.thresholds[picks[:, m]].astype(np.float32)],
                 n, also_device=True,
             )
@@ -656,7 +712,9 @@ class BlockCodec:
         out = self.encode_blocks(blocks)
         if self.is_v2:
             # decoder-canonical CDF-row indexes (see compress_blocks_device_opt)
-            out["y_idx"] = self._run_chunked(self._decode_z, [out["z_sym"]], n)
+            out["y_idx"] = self._run_chunked(
+                self._decode_z, [narrow_symbols(out["z_sym"])], n
+            )
 
         with ThreadPoolExecutor(self.threads) as pool:
             strings_list = list(
@@ -684,11 +742,12 @@ class BlockCodec:
         # drift near a picked threshold would flip voxels otherwise)
         mask_fn = self._decode_y_mask if self.is_v2 else self._decode_mask
         bsz = self.block_size
+        y_narrow = narrow_symbols(out["y_sym"])
         x_hat_points = []
         for col in map(list, zip(*threshold_list)):
             packed = self._run_chunked(
                 mask_fn,
-                [out["y_sym"],
+                [y_narrow,
                  self.thresholds[np.asarray(col)].astype(np.float32)],
                 n,
             )
@@ -727,20 +786,21 @@ class BlockCodec:
             [self.thresholds[t] for _, t in payload], np.float32
         )
 
+        narrow = narrow_symbols
         if self.is_v2:
             z_idx = self._channel_indexes(self.z_shape)
             with ThreadPoolExecutor(self.threads) as pool:
-                z_syms = np.stack(
+                z_syms = narrow(np.stack(
                     list(
                         pool.map(
                             lambda p: rc.decode(p[0][1], z_idx, self.eb_table),
                             payload,
                         )
                     )
-                ).astype(np.int16)
+                ))
             dz = self._run_chunked(self._decode_z, [z_syms], n)  # y indexes
             with ThreadPoolExecutor(self.threads) as pool:
-                y_syms = np.stack(
+                y_syms = narrow(np.stack(
                     list(
                         pool.map(
                             lambda args: rc.decode(
@@ -751,19 +811,19 @@ class BlockCodec:
                             zip(payload, dz),
                         )
                     )
-                ).astype(np.int16)
+                ))
             packed = self._run_chunked(self._decode_y_mask, [y_syms, thr], n)
         else:
             y_idx = self._channel_indexes(self.y_shape)
             with ThreadPoolExecutor(self.threads) as pool:
-                y_syms = np.stack(
+                y_syms = narrow(np.stack(
                     list(
                         pool.map(
                             lambda p: rc.decode(p[0][0], y_idx, self.eb_table),
                             payload,
                         )
                     )
-                ).astype(np.int16)
+                ))
             packed = self._run_chunked(self._decode_mask, [y_syms, thr], n)
 
         dec_blocks = []
