@@ -84,6 +84,19 @@ def main(argv=None):
         ]
         points = [np.hstack((p, n)) for p, n in zip(points, normals)]
 
+    def _dedup_voxels(p):
+        # voxel-grid inputs must be unique integer coordinates: the
+        # codec's occupancy grids dedup implicitly, and the device
+        # sweep's points×candidates path (_sparse_ab_sums) requires the
+        # point list and the grid to agree exactly. Keeps the first
+        # occurrence (with its attribute columns).
+        p = p.copy()
+        p[:, :3] = np.round(p[:, :3])
+        _, idx = np.unique(p[:, :3], axis=0, return_index=True)
+        return p[np.sort(idx)] if len(idx) < len(p) else p
+
+    points = [_dedup_voxels(p) for p in points]
+
     from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import D2_METRICS
 
     use_device = (

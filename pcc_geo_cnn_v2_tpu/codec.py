@@ -350,11 +350,13 @@ class BlockCodec:
                                    + nrm.shape[1:], nrm.dtype)]
                 )
             arrays.append(jnp.asarray(nrm))
-        out = jax.device_get(
-            self._encode_opt_fn(opt_metrics, max_deltas, with_normals)(
-                self.params, *arrays
-            )
+        out = self._encode_opt_fn(opt_metrics, max_deltas, with_normals)(
+            self.params, *arrays
         )
+        # device-retained full-width copies never cross the tunnel
+        out.pop("y_sym16", None)
+        out.pop("z_sym16", None)
+        out = jax.device_get(out)
         if self.is_v2:
             out["y_idx"] = jax.device_get(
                 self._decode_z(self.params, out["z_sym"])
@@ -637,25 +639,19 @@ class BlockCodec:
                     )
                 return departed_cache[i]
 
-            def build_tree(i):
-                # candidate-cloud KD-tree for A-outlier resolution; built
-                # CONCURRENTLY with the device sums pass below (the host
-                # thread is otherwise blocked on TPU fetches), so the
-                # multi-second build on multi-million-point candidate
-                # clouds costs ~no wall-clock
-                from scipy.spatial import cKDTree
-
-                pts_full = np.vstack(
-                    [b[:, :3] + o for b, o in zip(x_hat_points[i], origins)
-                     if len(b)]
-                ) if any(len(b) for b in x_hat_points[i]) else None
-                if pts_full is None:
-                    return None
-                return cKDTree(pts_full, balanced_tree=False)
+            from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import build_cloud_tree
 
             with ThreadPoolExecutor(1) as pool:
-                tree_futs = {i: pool.submit(build_tree, i)
-                             for _, i in entries}
+                # candidate-cloud KD-trees for A-outlier resolution, built
+                # CONCURRENTLY with the device sums passes (the main
+                # thread is mostly blocked on TPU fetches, which release
+                # the GIL); futures are consumed in submission order and
+                # popped, so at most ~one finished tree is retained
+                tree_futs = {
+                    i: pool.submit(build_cloud_tree, x_hat_points[i],
+                                   origins)
+                    for _, i in entries
+                }
                 for nm, i in entries:
                     t0 = time.time()
                     sums = blockwise_d1_sums(
@@ -664,14 +660,13 @@ class BlockCodec:
                     )
                     t_sums = time.time() - t0
                     t0 = time.time()
+                    tree = tree_futs.pop(i).result()
                     if sums["n_b"] == 0:  # all blocks hit failure guard
                         metrics_full.append({"d1_psnr": -np.inf})
                         continue
 
-                    def resolve_a(q, i=i):
-                        d, _ = tree_futs[i].result().query(
-                            q[:, :3], workers=-1
-                        )
+                    def resolve_a(q, tree=tree):
+                        d, _ = tree.query(q[:, :3], workers=-1)
                         return d ** 2
 
                     metrics_full.append(
@@ -679,6 +674,7 @@ class BlockCodec:
                                              points_a=points[:, :3],
                                              resolve_a=resolve_a)
                     )
+                    del tree
                     logger.info("metric %s: sums %.2fs, resolve %.2fs "
                                 "(%d+%d outliers)", nm, t_sums,
                                 time.time() - t0, len(sums["outliers_a"]),

@@ -231,6 +231,20 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
     }
 
 
+def build_cloud_tree(blocks, origins):
+    """KD-tree over a blockwise cloud in global coordinates (None if
+    empty). Coordinates stay float32 (voxel grids are exact well past
+    2^24) — scipy converts to its internal layout either way."""
+    from scipy.spatial import cKDTree
+
+    origins = np.asarray(origins, np.float32)
+    pts = [np.asarray(b)[:, :3].astype(np.float32) + o
+           for b, o in zip(blocks, origins) if len(b)]
+    if not pts:
+        return None
+    return cKDTree(np.vstack(pts), balanced_tree=False)
+
+
 def resolve_outliers(queries, blocks, origins, size,
                      full_tree_limit=20_000_000):
     """Exact NN dist² of each query against a blockwise cloud.
@@ -255,17 +269,12 @@ def resolve_outliers(queries, blocks, origins, size,
         import time
 
         t0 = time.time()
-        pts = np.vstack(
-            [np.asarray(b)[:, :3] + o for b, o in zip(blocks, origins)
-             if len(b)]
-        )
+        tree = build_cloud_tree(blocks, origins)
         t1 = time.time()
-        tree = cKDTree(pts, balanced_tree=False)
-        t2 = time.time()
         d, _ = tree.query(queries[:, :3], workers=-1)
-        logger.info("resolve full-tree: vstack %.2fs build %.2fs query %.2fs"
-                    " (%d pts, %d queries)", t1 - t0, t2 - t1,
-                    time.time() - t2, len(pts), len(queries))
+        logger.info("resolve full-tree: build %.2fs query %.2fs"
+                    " (%d pts, %d queries)", t1 - t0, time.time() - t1,
+                    n_total, len(queries))
         return d ** 2
     omap = {tuple(o): i for i, o in enumerate((origins // size).tolist())}
     max_ring = int(np.ceil(

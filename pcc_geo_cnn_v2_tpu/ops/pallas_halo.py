@@ -100,7 +100,9 @@ def halo_d1_dir_pallas(qry_vol, tgt_vol, *, size, halo, interpret=False):
     # query in the cell is within g·D + (g-1)·√3. 32³ cells, not 16³: the
     # (g-1)·√3 margin at g=6 (≈8.7) swamps the bound and forces near-full
     # min-plus trip counts; g=3 halves it
-    g = max(Hp // 32, 1)
+    # largest divisor of Hp with cells no finer than ~32³ (Hp need not be
+    # a multiple of 32: e.g. halo 20 → H 104 → Hp 112 → g 2)
+    g = next(d for d in range(max(Hp // 32, 1), 0, -1) if Hp % d == 0)
     cs = Hp // g
     cell = lambda v: jnp.max(
         v.reshape(bs, cs, g, cs, g, cs, g), axis=(2, 4, 6)

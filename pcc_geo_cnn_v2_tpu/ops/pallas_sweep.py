@@ -371,16 +371,14 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
     )(first_empty, t_small, thresholds, topk_val[:, :n_pos], topk_pos,
       kmax_coarse, x_hat_f, occ_f, dt_f)
     if pts is not None:
-        ab_sparse = _sparse_ab_sums(
-            pts, topk_val[:, :k_eff], topk_idx[:, :k_eff], cnt, size
-        )
+        ab_sparse = _sparse_ab_sums(pts, topk_idx[:, :k_eff], cnt, size)
         tidx = jnp.arange(T, dtype=jnp.int32)[None, :]
         use_sparse = (tidx >= t_small[:, None]) & (tidx < first_empty[:, None])
         ab = jnp.where(use_sparse, ab_sparse, ab)
     return ab, ba, cnt, dt_orig
 
 
-def _sparse_ab_sums(pts, cand_val, cand_idx, cnt, size):
+def _sparse_ab_sums(pts, cand_idx, cnt, size):
     """AB sums for sparse thresholds via points×candidates prefix-min.
 
     For a threshold with count c ≤ K the candidate set is exactly the
@@ -393,8 +391,8 @@ def _sparse_ab_sums(pts, cand_val, cand_idx, cnt, size):
     EDT formulation degrades as kmax → B-1 exactly on these thresholds).
 
     :param pts: [N, P, 3] int occupied voxels, -1 rows = padding.
-    :param cand_val: [N, K] top-K values (descending).
-    :param cand_idx: [N, K] flat indexes of the top-K voxels.
+    :param cand_idx: [N, K] flat indexes of the top-K voxels (descending
+        by value).
     :param cnt: [N, T] per-threshold candidate counts (from the kernel).
     :return: [N, T] AB sums, valid wherever 0 < count ≤ K.
     """
@@ -424,7 +422,17 @@ def _sparse_ab_sums(pts, cand_val, cand_idx, cnt, size):
         d2 = jnp.sum(
             (ptsf[:, :, None, :] - cand[:, None, :, :]) ** 2, axis=-1
         )  # [N, pc, K]
-        pm = jax.lax.associative_scan(jnp.minimum, d2, axis=2)  # prefix-min
+        # prefix-min via log-doubling shifts (lax.associative_scan lowers
+        # ~25x slower than these 8 shifted-min passes on TPU)
+        pm = d2
+        s = 1
+        while s < K:
+            shifted = jnp.pad(
+                pm[:, :, : K - s], ((0, 0), (0, 0), (s, 0)),
+                constant_values=INF,
+            )
+            pm = jnp.minimum(pm, shifted)
+            s *= 2
         picked = jnp.take_along_axis(pm, idx[:, None, :], axis=2)
         return jnp.sum(
             jnp.where(valid_p[:, :, None], picked, 0.0), axis=1

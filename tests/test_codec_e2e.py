@@ -227,3 +227,39 @@ def test_warmup_compiles_all_paths():
     dec = codec.decompress_blocks(data_list[0])
     for d, e in zip(dec, metadata[0]["x_hat_list"]):
         np.testing.assert_array_equal(d, e)
+
+
+def test_wide_symbol_escape_roundtrip():
+    """Blocks with |symbol| > 127 exercise the int16 escape: the encoder
+    re-fetches wide rows from the device copy, both sides pick the int16
+    executables by the same rule, and decodes stay bit-exact."""
+    pts = _random_cloud(5)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3,
+                                      LEVEL)
+    model = build_model(dict(model="v2", num_filters=8,
+                             analysis="AnalysisTransformV1",
+                             synthesis="SynthesisTransformV1"))
+    x = np.zeros((1, BLOCK, BLOCK, BLOCK, 1), np.float32)
+    params = model.init(jax.random.PRNGKey(3), x, training=False)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    syn = params["params"]["synthesis_t"]
+    last = sorted(k for k in syn if k.startswith("ConvTranspose"))[-1]
+    syn[last]["bias"] = syn[last]["bias"] + 0.55
+    # blow up the analysis output so y symbols leave [-128, 127]
+    ana = params["params"]["analysis_t"]
+    last_conv = sorted(k for k in ana if k.startswith("Conv"))[-1]
+    ana[last_conv]["kernel"] = ana[last_conv]["kernel"] * 4000.0
+    codec = BlockCodec(model, params, block_size=BLOCK, batch_blocks=4)
+
+    enc = codec.encode_blocks(blocks)
+    assert np.abs(enc["y_sym"]).max() > 127, "test setup: no wide symbols"
+    assert np.abs(enc["y_sym"]).max() < 2 ** 15, "int16 range exceeded"
+
+    data_list, metadata = codec.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL, opt_metrics=("d1_mse",)
+    )
+    dec_blocks = codec.decompress_blocks(data_list[0])
+    enc_side = metadata[0]["x_hat_list"]
+    assert len(dec_blocks) == len(enc_side)
+    for a, b in zip(enc_side, dec_blocks):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
