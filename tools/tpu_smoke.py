@@ -50,8 +50,9 @@ def make_surface_batch(rng, n, size):
 
 
 def check_sweep(rng):
+    from scipy.ndimage import distance_transform_edt
+
     from pcc_geo_cnn_v2_tpu.ops.pallas_sweep import d1_sweep_sums_pallas
-    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import d1_sweep
 
     size, n = 64, 8
     x_hat, occ = make_surface_batch(rng, n, size)
@@ -60,20 +61,33 @@ def check_sweep(rng):
     for i in range(n):
         c = np.argwhere(occ[i] > 0)
         pts[i, : len(c)] = c
-    thr = jnp.linspace(0, 1, 256, dtype=jnp.float32)
+    thr_np = np.linspace(0, 1, 256, dtype=np.float32)
+    thr = jnp.asarray(thr_np)
+    dt_occ = {
+        b: distance_transform_edt(occ[b] == 0) ** 2 for b in range(0, n, 3)
+    }
     for kwargs in ({}, {"pts": jnp.asarray(pts)}):
         ab, ba, cnt, _ = jax.device_get(
             d1_sweep_sums_pallas(jnp.asarray(x_hat), jnp.asarray(occ), thr,
                                  **kwargs)
         )
+        # host scipy EDT oracle on sampled (block, threshold) pairs
         for b in range(0, n, 3):
-            sw = jax.device_get(d1_sweep(occ[b], x_hat[b], thr))
-            m = sw["count"] > 0
-            assert np.array_equal(cnt[b], sw["count"].astype(np.float32)), b
-            np.testing.assert_allclose(ab[b][m], sw["d1_sum_AB"][m],
-                                       rtol=0, atol=0.5)
-            np.testing.assert_allclose(ba[b][m], sw["d1_sum_BA"][m],
-                                       rtol=0, atol=0.5)
+            for t in range(3, 256, 17):
+                mask = x_hat[b] > thr_np[t]
+                c = int(mask.sum())
+                assert cnt[b, t] == c, (b, t, cnt[b, t], c)
+                if c == 0:
+                    continue
+                edt2 = distance_transform_edt(~mask) ** 2
+                ab_o = edt2[occ[b] > 0].sum()
+                ba_o = dt_occ[b][mask].sum()
+                # distances are exact ints in f32, but sums past 2^24
+                # round by accumulation order — allow that, nothing more
+                np.testing.assert_allclose(ab[b, t], ab_o, rtol=1e-6,
+                                           atol=0.5)
+                np.testing.assert_allclose(ba[b, t], ba_o, rtol=1e-6,
+                                           atol=0.5)
         log(f"sweep kernel parity OK (pts={'pts' in kwargs})")
 
 
