@@ -50,24 +50,37 @@ from pcc_geo_cnn_v2_tpu.ops.edt import INF, squared_edt
 __all__ = ["d1_sweep_sums_pallas"]
 
 BIG = 1e9  # linear-distance infinity (BIG² stays finite in f32)
+# int16 arithmetic domain: 2x VPU throughput over f32. Linear distances
+# self-cap at 127 (B-1 ≤ 127 for every block size the int16 path accepts),
+# so 127² = 16129 acts as squared-distance infinity and every add in the
+# min-plus passes stays ≤ 16129 + (B-1)² < 2^15.
+BIG_I16 = 127
+INF_I16 = 127 * 127
 
 
-def _axis_ray_dist(mask, size, stride, pos, kmax=None):
+def _consts(dtype):
+    if dtype == jnp.int16:
+        return jnp.int16(BIG_I16), jnp.int16(INF_I16)
+    return jnp.float32(BIG), jnp.float32(INF)
+
+
+def _axis_ray_dist(mask, size, stride, pos, kmax=None, dtype=jnp.float32):
     """1-D L1 distance to the nearest ``mask`` voxel along one lane
     axis (x: stride=1, y: stride=B) via log-step doubling propagation:
     any gap k ≤ B-1 decomposes into binary jumps, min keeps the best.
     With ``kmax``, steps with s > kmax are skipped — exact ≤ kmax,
     overestimates beyond (valid for upper-bound uses)."""
     flat = mask.shape[-1]
-    d = jnp.where(mask, 0.0, BIG)
+    big, _ = _consts(dtype)
+    d = jnp.where(mask, jnp.zeros((), dtype), big)
     s = 1
     while s < size:
         def step(d, s=s):
-            fs = jnp.float32(s)
+            fs = jnp.asarray(s, dtype)
             fwd = pltpu.roll(d, flat - s * stride, 1)  # [i] = d[i + s·str]
-            d = jnp.minimum(d, jnp.where(pos < size - s, fwd + fs, BIG))
+            d = jnp.minimum(d, jnp.where(pos < size - s, fwd + fs, big))
             bwd = pltpu.roll(d, s * stride, 1)  # [i] = d[i - s·stride]
-            return jnp.minimum(d, jnp.where(pos >= s, bwd + fs, BIG))
+            return jnp.minimum(d, jnp.where(pos >= s, bwd + fs, big))
 
         if kmax is None:
             d = step(d)
@@ -77,7 +90,7 @@ def _axis_ray_dist(mask, size, stride, pos, kmax=None):
     return d
 
 
-def _z_doubling_dist(mask, size, z_pos, kmax=None):
+def _z_doubling_dist(mask, size, z_pos, kmax=None, dtype=jnp.float32):
     """1-D L1 distance to the nearest ``mask`` voxel along the sublane (z)
     axis via log-step doubling sublane rotations, exact for all true
     distances ≤ ``kmax`` (everywhere if kmax is None). Exactness: linear
@@ -89,15 +102,16 @@ def _z_doubling_dist(mask, size, z_pos, kmax=None):
     min-plus passes. ~2·log₂(min(kmax,size)) full-volume VPU ops —
     replaces a 126-step sequential single-sublane scan that left the VPU
     8× idle."""
-    d = jnp.where(mask, 0.0, BIG)
+    big, _ = _consts(dtype)
+    d = jnp.where(mask, jnp.zeros((), dtype), big)
     s = 1
     while s < size:
         def step(d, s=s):
-            fs = jnp.float32(s)
+            fs = jnp.asarray(s, dtype)
             fwd = pltpu.roll(d, size - s, 0)  # fwd[i] = d[i + s]
-            d = jnp.minimum(d, jnp.where(z_pos < size - s, fwd + fs, BIG))
+            d = jnp.minimum(d, jnp.where(z_pos < size - s, fwd + fs, big))
             bwd = pltpu.roll(d, s, 0)  # bwd[i] = d[i - s]
-            return jnp.minimum(d, jnp.where(z_pos >= s, bwd + fs, BIG))
+            return jnp.minimum(d, jnp.where(z_pos >= s, bwd + fs, big))
 
         if kmax is None:
             d = step(d)
@@ -111,18 +125,27 @@ def _z_doubling_dist(mask, size, z_pos, kmax=None):
 
 def _min_plus_rolls(scratch, size, stride, pos, kmax, unroll=4):
     """Min-plus pass along a lane axis (x: stride=1, y: stride=B) for
-    shifts 1..kmax (dynamic). Exact wherever the true best shift ≤ kmax."""
+    shifts 1..kmax (dynamic). Exact wherever the true best shift ≤ kmax.
+    Works in the scratch ref's dtype (f32, or int16 when the squared-
+    distance domain fits — see BIG_I16/INF_I16).
+
+    (A statically-unrolled variant with lax.cond-guarded static roll
+    amounts measured ~8% SLOWER end-to-end than this dynamically-bounded
+    loop — the per-step branches cost what the static rotations saved.)"""
     flat = size * size
     g = scratch[...]
+    dtype = g.dtype
+    _, inf = _consts(dtype)
 
     def body(kk, acc):
         for u in range(unroll):
             k = kk * unroll + u + 1
-            k2 = (k * k).astype(jnp.float32)
+            k2 = (k * k).astype(dtype)
             left = pltpu.roll(g, flat - k * stride, 1)  # [i] = g[i + k·s]
-            acc = jnp.minimum(acc, jnp.where(pos < size - k, left + k2, INF))
+            acc = jnp.minimum(acc, jnp.where(pos < size - k, left + k2,
+                                             inf))
             right = pltpu.roll(g, k * stride, 1)  # [i] = g[i - k·s]
-            acc = jnp.minimum(acc, jnp.where(pos >= k, right + k2, INF))
+            acc = jnp.minimum(acc, jnp.where(pos >= k, right + k2, inf))
         return acc
 
     n_iter = jnp.minimum((kmax + unroll - 1) // unroll,
@@ -189,19 +212,27 @@ def _sweep_kernel(first_empty_ref, t_small_ref, thr_ref, topk_val_ref,
             thr = thr_ref[t_global]
             mask = x_hat > thr
             _store(cnt_ref, t_global, jnp.sum(mask.astype(jnp.float32)))
-            _store(ba_ref, t_global, jnp.sum(jnp.where(mask, dt, 0.0)))
+            _store(ba_ref, t_global,
+                   jnp.sum(jnp.where(mask, dt, jnp.zeros((), dt.dtype))
+                           .astype(jnp.float32)))
 
             @pl.when(t_global < t_small)
             def _(t_global=t_global, thr=thr, mask=mask):
                 # exact squared-EDT at occupied voxels: bounded z doubling
                 # pass (any true NN at D ≤ kmax² has |dz| ≤ kmax) squared,
-                # then bounded y/x min-plus passes
-                lin_z = _z_doubling_dist(mask, size, z_pos, kmax=kmax)
-                scratch[...] = jnp.minimum(lin_z * lin_z, INF)
+                # then bounded y/x min-plus passes — in the scratch dtype
+                # (int16 when the distance domain fits: 2x VPU throughput)
+                sdt = scratch.dtype
+                _, s_inf = _consts(sdt)
+                lin_z = _z_doubling_dist(mask, size, z_pos, kmax=kmax,
+                                         dtype=sdt)
+                scratch[...] = jnp.minimum(lin_z * lin_z, s_inf)
                 _min_plus_rolls(scratch, size, size, y_pos, kmax)
                 _min_plus_rolls(scratch, size, 1, x_pos, kmax)
                 _store(ab_ref, t_global,
-                       jnp.sum(jnp.where(occ_b, scratch[...], 0.0)))
+                       jnp.sum(jnp.where(occ_b, scratch[...],
+                                         jnp.zeros((), sdt))
+                               .astype(jnp.float32)))
 
             @pl.when(t_global >= t_small)
             def _(t_global=t_global, thr=thr):
@@ -296,7 +327,15 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
     flatten = lambda a: a.reshape(n, size, size * size)
     x_hat_f = flatten(x_hat.astype(jnp.float32))
     occ_f = flatten(jnp.asarray(occ, jnp.float32))
-    dt_f = flatten(dt_orig)
+    # int16 EDT domain when every true squared distance fits under the
+    # 127² cap (B ≤ 64) would halve VPU work and the dt input stream —
+    # but Mosaic's tpu.dynamic_rotate only implements 32-bit data
+    # ("Rotate with non-32-bit data: not implemented", 2026-08), so the
+    # int16 kernel path stays disabled until that lands. The kernel and
+    # helpers are dtype-generic and interpret-tested for the day it does.
+    use_i16 = False and 3 * (size - 1) ** 2 < INF_I16
+    edt_dtype = jnp.int16 if use_i16 else jnp.float32
+    dt_f = flatten(dt_orig.astype(edt_dtype))
 
     # Coarse-grid shift bound per (block, threshold chunk): a g³-cell max-
     # pool of x_hat turns "cell contains a candidate at threshold t" into
@@ -361,7 +400,7 @@ def d1_sweep_sums_pallas(x_hat, occ, thresholds, chunk=8, topk=16,
             grid=grid,
             in_specs=[vol_spec(), vol_spec(), vol_spec()],
             out_specs=(out_spec, out_spec, out_spec),
-            scratch_shapes=[pltpu.VMEM((size, size * size), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((size, size * size), edt_dtype)],
         ),
         out_shape=(shape, shape, shape),
         compiler_params=pltpu.CompilerParams(
