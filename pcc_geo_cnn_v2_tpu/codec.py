@@ -523,7 +523,8 @@ class BlockCodec:
                 out[key][wide] = rows
                 logger.info("re-fetched %d wide %s blocks", len(wide), key)
         picks = np.asarray(out["picks"])
-        t_device = time.time() - t0
+        t_fused = time.time() - t0
+        t_device = t_fused
 
         # Decoder-canonical passes: CDF-row indexes and the embedded
         # reconstructions come from the SAME executables the decoder runs
@@ -549,7 +550,8 @@ class BlockCodec:
             )
             packed_by_metric.append(host_m)
             packed_dev_by_metric.append(dev_m)
-        t_device += time.time() - t0
+        t_canonical = time.time() - t0
+        t_device += t_canonical
 
         t0 = time.time()
         with ThreadPoolExecutor(self.threads) as pool:
@@ -588,9 +590,10 @@ class BlockCodec:
             )
         t_select = time.time() - t0
         logger.info(
-            "compress_blocks_device_opt(%d blocks): device %.2fs, "
-            "entropy %.2fs, unpack %.2fs, select %.2fs",
-            n, t_device, t_entropy, t_unpack, t_select,
+            "compress_blocks_device_opt(%d blocks): device %.2fs "
+            "(fused %.2fs, canonical %.2fs), entropy %.2fs, unpack %.2fs, "
+            "select %.2fs",
+            n, t_device, t_fused, t_canonical, t_entropy, t_unpack, t_select,
         )
         by_metric = list(map(list, zip(*threshold_list)))
         data_list = [

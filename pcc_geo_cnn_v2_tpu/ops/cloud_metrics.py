@@ -187,6 +187,9 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
     b_ext = jnp.concatenate([b_dev, zero_row])
     nb_j = jnp.asarray(np.where(nb < 0, n, nb))
 
+    import time
+
+    t0 = time.time()
     outs = []
     for lo in range(0, n, batch):
         hi = min(lo + batch, n)
@@ -199,13 +202,17 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
                                    jnp.take(b_ext, idx, axis=0),
                                    size=size, halo=halo,
                                    backend=backend))
+    t_dispatch = time.time() - t0
     # fetch scalars as ONE device-concatenated transfer per key (fetching
     # per-chunk leaves pays ~50 ms tunnel latency each); outlier bitmaps
     # stay on device — gather only the flagged blocks' rows in one transfer
+    t0 = time.time()
     res = jax.device_get({
         k: jnp.concatenate([o[k] for o in outs])[:n]
         for k in outs[0] if not k.endswith("_unres")
     })
+    t_fetch = time.time() - t0
+    t0 = time.time()
     origins = np.asarray(origins)
     outliers = {"ab": [], "ba": []}
     for tag in ("ab", "ba"):
@@ -219,6 +226,9 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
                 size, size, size
             )
             outliers[tag].append(np.argwhere(mask) + origins[i])
+    logger.info("blockwise_d1_sums(%d blocks, %s): dispatch %.2fs, "
+                "fetch %.2fs, outlier rows %.2fs", n, backend, t_dispatch,
+                t_fetch, time.time() - t0)
     return {
         "ab_sum": float(res["ab_sum"].sum()),
         "ba_sum": float(res["ba_sum"].sum()),

@@ -57,7 +57,12 @@ def main():
         state = create_train_state(model, jax.random.PRNGKey(0), cfg)
         steps = STEPS
         if base_params is not None:  # warm-seq fine-tune from the base λ
-            state = state.replace(params=base_params)
+            # re-put a fresh device copy: the train step donates its state,
+            # so handing the same arrays to a second run would hit
+            # donated/deleted buffers
+            state = state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, base_params)
+            )
             steps = STEPS // FINETUNE_FRAC
         step_fn = make_train_step(model, cfg)
         it = ds.batches(cfg.batch_size, seed=0)
@@ -68,7 +73,7 @@ def main():
             state, logs = step_fn(state, jnp.asarray(next(it)), k)
         logs = jax.device_get(logs)
         if j == 0:
-            base_params = state.params
+            base_params = jax.device_get(state.params)
         print(f"λ={lmbda:g}: trained {steps} steps in {time.time()-t0:.0f}s "
               f"(mbpov {logs['mbpov']:.2f})", flush=True)
         codec = BlockCodec(model, jax.device_get(state.params),
