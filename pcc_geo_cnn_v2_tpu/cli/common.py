@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import logging
+from pathlib import Path
 
 import jax
 import numpy as np
@@ -48,7 +49,8 @@ def load_params(model, checkpoint_dir, block_size=16):
     )
     import orbax.checkpoint as ocp
 
-    path = Trainer.latest_checkpoint(checkpoint_dir)
+    # orbax rejects relative paths
+    path = Trainer.latest_checkpoint(Path(checkpoint_dir).resolve())
     assert path is not None, f"Checkpoint {checkpoint_dir} was not found"
     state = create_train_state(model, jax.random.PRNGKey(0),
                                TrainConfig(block_size=block_size))

@@ -70,8 +70,11 @@ def main(argv=None):
             ]
             for key in ("alpha", "gamma", "batch_size", "max_steps",
                         "resolution", "num_filters"):
-                if key in mc:
-                    cmd += [f"--{key}", str(mc[key])]
+                # per-config value, falling back to the spec-level one
+                # (reference tr_train_all.py:42-45 dict.get semantics)
+                val = mc.get(key, spec.get(key))
+                if val is not None:
+                    cmd += [f"--{key}", str(val)]
             if mode == "warm_seq" and prev_dir is not None:
                 cmd += ["--warm_start", str(prev_dir)]
             cmd += extra_args

@@ -173,7 +173,8 @@ class Trainer:
 
         self.model = model
         self.config = config
-        self.dir = Path(checkpoint_dir)
+        # orbax rejects relative checkpoint paths
+        self.dir = Path(checkpoint_dir).resolve()
         self.dir.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(seed)
@@ -190,7 +191,7 @@ class Trainer:
             self.restore(latest)
             logger.info("resumed from %s (step %d)", latest, self.start_step)
         elif warm_start:
-            src = self.latest_checkpoint(Path(warm_start))
+            src = self.latest_checkpoint(Path(warm_start).resolve())
             assert src is not None, f"no checkpoint in {warm_start}"
             self.restore(src, params_only=True)
             logger.info("warm start from %s", src)
@@ -280,6 +281,7 @@ class Trainer:
                     vlogs = self.eval_fn(self.state.params, jnp.asarray(vb),
                                          vrng)
                     losses.append(float(vlogs["loss"]))
+                assert losses, "validation produced zero batches"
                 val_loss = float(np.mean(losses))
                 self._log(step, "val", {"loss": val_loss})
                 logger.info("step %d val loss %.4f (best %.4f)", step,

@@ -38,11 +38,18 @@ class BlockDataset:
         return out
 
     def batches(self, batch_size, seed=42, repeat=True, shuffle=True):
-        """Yield [batch_size, P, 3] int32 batches (infinite when repeat)."""
+        """Yield [batch_size, P, 3] int32 batches (infinite when repeat).
+
+        Fewer blocks than one batch still yields one batch (blocks cycled
+        to fill it) — a validation split smaller than the batch size must
+        not silently produce zero batches.
+        """
         rng = np.random.default_rng(seed)
         n = len(self.blocks)
         while True:
             order = rng.permutation(n) if shuffle else np.arange(n)
+            if n < batch_size:
+                yield self._pack(np.resize(order, batch_size))
             for lo in range(0, n - batch_size + 1, batch_size):
                 yield self._pack(order[lo: lo + batch_size])
             if not repeat:
