@@ -82,7 +82,7 @@ def main():
     )
 
     t0 = time.time()
-    tr_train_all.main([str(yml)])
+    tr_train_all.main([str(yml), spec["model_dir"]])
     print(f"training sweep done ({time.time()-t0:.0f}s)", flush=True)
     t0 = time.time()
     ev_run_experiment.main([str(yml), "--num_parallel", "1"])
