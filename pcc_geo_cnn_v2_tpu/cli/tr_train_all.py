@@ -71,8 +71,12 @@ def main(argv=None):
             for key in ("alpha", "gamma", "batch_size", "max_steps",
                         "resolution", "num_filters"):
                 # per-config value, falling back to the spec-level one
-                # (reference tr_train_all.py:42-45 dict.get semantics)
-                val = mc.get(key, spec.get(key))
+                # (reference tr_train_all.py:42-45 dict.get semantics).
+                # EXCEPT resolution: per-config it means the training
+                # block size, while the spec-level key is the eval
+                # clouds' resolution — never forward the latter.
+                val = mc.get(key) if key == "resolution" else (
+                    mc.get(key, spec.get(key)))
                 if val is not None:
                     cmd += [f"--{key}", str(val)]
             if mode == "warm_seq" and prev_dir is not None:
