@@ -29,6 +29,12 @@ def make_mesh(n_devices=None, axes=("dp",), shape=None) -> Mesh:
     """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} device(s) "
+                f"available ({jax.default_backend()}); a truncated mesh "
+                "would make sharding checks vacuous"
+            )
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
