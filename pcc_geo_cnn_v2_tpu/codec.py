@@ -46,18 +46,22 @@ def _get_normals(arr, with_normals):
 
 
 def narrow_symbols(a):
-    """int8 when every symbol fits, else int16.
+    """int8 when every symbol fits, else int16, else int32.
 
     Encoder and decoder MUST make this choice identically: the executable
     (and hence XLA's fusion) depends on the input dtype, and the merged-
     decode bit-exactness guarantee requires both sides to run the SAME
     decoder executable. Both sides see identical symbol values (the range
-    coder is lossless), so this range test is a consistent chooser.
+    coder is lossless — unbounded symbols escape via overflow coding, as
+    in the reference's coder, ``patch_gaussian_conditional.py:27-31``),
+    so this range test is a consistent chooser.
     """
     a = np.asarray(a)
-    if a.size and -128 <= a.min() and a.max() <= 127:
+    if not a.size or (-128 <= a.min() and a.max() <= 127):
         return a.astype(np.int8)
-    return a.astype(np.int16)
+    if -32768 <= a.min() and a.max() <= 32767:
+        return a.astype(np.int16)
+    return a.astype(np.int32)
 
 
 def select_best_per_opt_metric(binstr, x_hat_list, level, opt_metrics, points,
@@ -227,21 +231,22 @@ class BlockCodec:
     def _compact(out, narrow=False):
         """Shrink device→host transfer dtypes; tunnel bandwidth is scarce.
 
-        Symbols travel as int16 with an overflow counter the host asserts
-        on (values beyond ±32k mean the model diverged). With ``narrow``,
-        they travel as int8 plus per-block wide-value counts — trained
-        models rarely emit |symbol| > 127, and the few blocks that do are
-        re-fetched at int16 from the retained device copy (see
-        ``compress_blocks_device_opt``). Halves the dominant device→host
-        stream.
+        With ``narrow``, symbols travel as int8 plus per-block counts of
+        values outside int8 (``*_wide``) and outside int16 (``*_wide16``)
+        — trained models rarely emit |symbol| > 127, and the few blocks
+        that do are re-fetched at full width from the retained device
+        copy (see :meth:`_widen_symbols`). A divergent model that emits
+        |symbol| > 32767 therefore still encodes correctly (int32 path)
+        instead of aborting. Quarters the dominant device→host stream.
         """
         compact = dict(out)
-        overflow = jnp.asarray(0, jnp.int32)
         for key in ("y_sym", "z_sym"):
             if key in compact:
-                s16 = compact[key].astype(jnp.int16)
-                overflow = overflow + jnp.sum(
-                    (s16.astype(jnp.int32) != compact[key]).astype(jnp.int32)
+                s32 = compact[key]
+                s16 = jnp.clip(s32, -32768, 32767).astype(jnp.int16)
+                wide16 = jnp.sum(
+                    (s16.astype(jnp.int32) != s32).astype(jnp.int32),
+                    axis=tuple(range(1, s32.ndim)),
                 )
                 if narrow:
                     s8 = jnp.clip(s16, -128, 127).astype(jnp.int8)
@@ -253,9 +258,9 @@ class BlockCodec:
                     compact[f"{key}_wide"] = wide
                 else:
                     compact[key] = s16
+                compact[f"{key}_wide16"] = wide16
         if "y_idx" in compact:
             compact["y_idx"] = compact["y_idx"].astype(jnp.uint8)
-        compact["sym_overflow"] = overflow.reshape(1)
         return compact
 
     # -- device passes in chunks ------------------------------------------
@@ -321,6 +326,40 @@ class BlockCodec:
             return stitched, dev_full
         return stitched
 
+    def _widen_symbols(self, out, dev_keep):
+        """Exact host symbols + canonical device feeds from the narrow
+        transfer.
+
+        The host dtype per tensor mirrors the decoder's
+        :func:`narrow_symbols` choice (int8/int16/int32 by value range —
+        both sides must feed the SAME dtype so they hit the same decoder
+        executable); blocks with out-of-int8 values re-fetch their rows
+        from the device-retained full-width copy. Divergent models that
+        emit |symbol| > 32767 take the int32 path instead of aborting.
+        """
+        sym_dev = {}
+        for key in ("y_sym", "z_sym") if self.is_v2 else ("y_sym",):
+            wide = np.nonzero(out.pop(f"{key}_wide"))[0]
+            wide16 = int(np.sum(out.pop(f"{key}_wide16")))
+            dtype = (np.int32 if wide16 else
+                     np.int16 if len(wide) else np.int8)
+            out[key] = out[key].astype(dtype)
+            full = dev_keep[f"{key}_full"]
+            if dtype == np.int8:
+                sym_dev[key] = dev_keep[key]
+            elif dtype == np.int16:
+                sym_dev[key] = full.astype(jnp.int16)
+            else:
+                sym_dev[key] = full
+            if len(wide):
+                rows = jax.device_get(
+                    jnp.take(full, jnp.asarray(wide), axis=0)
+                ).astype(dtype)
+                out[key][wide] = rows
+                logger.info("re-fetched %d wide %s blocks as %s", len(wide),
+                            key, np.dtype(dtype).name)
+        return sym_dev
+
     # -- encode ------------------------------------------------------------
 
     def warmup(self, blocks, opt_metrics=("d1_mse",), max_deltas=(np.inf,),
@@ -353,13 +392,22 @@ class BlockCodec:
         out = self._encode_opt_fn(opt_metrics, max_deltas, with_normals)(
             self.params, *arrays
         )
-        # device-retained full-width copies never cross the tunnel
-        out.pop("y_sym16", None)
-        out.pop("z_sym16", None)
+        # same widen step as the real run (full-width copies stay on
+        # device; only int8 + counts cross the tunnel), so warmup encodes
+        # correct symbols even for |sym| > 127 blocks. Note: only the
+        # dtype actually present in the warmup data gets its decoder
+        # executables compiled — a wider cloud later pays a fresh compile.
+        dev_keep = {k: out[k] for k in list(out)
+                    if k.endswith("_full") or k in ("y_sym", "z_sym")}
+        for k in list(out):
+            if k.endswith("_full"):
+                out.pop(k)
         out = jax.device_get(out)
+        out.pop("dup_count", None)  # padding blocks alias (0,0,0)
+        self._widen_symbols(out, dev_keep)
         if self.is_v2:
             out["y_idx"] = jax.device_get(
-                self._decode_z(self.params, out["z_sym"])
+                self._decode_z(self.params, narrow_symbols(out["z_sym"]))
             )
         payload = [(self.entropy_encode(out, i), 128) for i in range(2)]
         self.decompress_blocks(payload)
@@ -453,13 +501,21 @@ class BlockCodec:
             out["packed_occ"] = jnp.packbits(
                 (occ > 0).reshape(occ.shape[0], -1), axis=-1, bitorder="big"
             )
+            # duplicate-voxel guard (the Pallas sweep's sparse AB sums
+            # double-count duplicated points; callers must dedup — this
+            # turns silent corruption into a loud error)
+            valid = jnp.all((pts >= 0) & (pts < size), axis=-1)
             res = self._compact(out, narrow=True)
+            res["dup_count"] = (
+                jnp.sum(valid, axis=-1).astype(jnp.int32)
+                - jnp.sum(occ > 0, axis=(1, 2, 3)).astype(jnp.int32)
+            )
             # full-width symbols retained on device only (keep_device):
             # the decoder-canonical passes read them, and rare blocks with
-            # |symbol| > 127 re-fetch their int16 rows from here
-            res["y_sym16"] = out["y_sym"].astype(jnp.int16)
+            # |symbol| > 127 re-fetch their full rows from here
+            res["y_sym_full"] = out["y_sym"]
             if "z_sym" in out:
-                res["z_sym16"] = out["z_sym"].astype(jnp.int16)
+                res["z_sym_full"] = out["z_sym"]
             return res
 
         jitted = jax.jit(fn)
@@ -498,30 +554,21 @@ class BlockCodec:
         # fused encode + sweep; full-width symbols and occupancy stay on
         # device (canonical/metric passes never re-upload them), the host
         # receives int8 symbols + per-block wide counts
-        keep = ("packed_occ", "y_sym16") + (("z_sym16",) if self.is_v2
-                                            else ())
+        keep = ("packed_occ", "y_sym_full") + (("z_sym_full",) if self.is_v2
+                                               else ())
         copies = ("y_sym",) + (("z_sym",) if self.is_v2 else ())
         out, dev_keep = self._run_chunked(
             self._encode_opt_fn(opt_metrics, max_deltas, with_normals),
             arrays, n, keep_device=keep, device_copies=copies,
         )
-        assert int(np.sum(out["sym_overflow"])) == 0, "int16 symbol overflow"
-        # widen int8 symbols; patch the rare wide blocks from device rows.
-        # The canonical passes below feed the int8 device copy when every
-        # block fits (the decoder will then upload int8 and hit the SAME
-        # executable — see narrow_symbols), else the int16 copy.
-        sym_dev = {}
-        for key in ("y_sym", "z_sym") if self.is_v2 else ("y_sym",):
-            wide = np.nonzero(out.pop(f"{key}_wide"))[0]
-            out[key] = out[key].astype(np.int16)
-            sym_dev[key] = (dev_keep[key] if not len(wide)
-                            else dev_keep[f"{key}16"])
-            if len(wide):
-                rows = jax.device_get(
-                    jnp.take(dev_keep[f"{key}16"], jnp.asarray(wide), axis=0)
-                )
-                out[key][wide] = rows
-                logger.info("re-fetched %d wide %s blocks", len(wide), key)
+        dup = out.pop("dup_count")
+        if np.any(dup):
+            raise ValueError(
+                f"{int(np.count_nonzero(dup))} block(s) contain duplicate "
+                "voxel coordinates; dedup inputs (see cli/compress.py) — "
+                "the sparse sweep sums would silently double-count"
+            )
+        sym_dev = self._widen_symbols(out, dev_keep)
         picks = np.asarray(out["picks"])
         t_fused = time.time() - t0
         t_device = t_fused

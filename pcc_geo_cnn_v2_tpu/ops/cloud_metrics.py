@@ -280,6 +280,8 @@ def resolve_outliers(queries, blocks, origins, size,
 
         t0 = time.time()
         tree = build_cloud_tree(blocks, origins)
+        if tree is None:  # empty candidate cloud: no finite NN distance
+            return np.full(len(queries), np.inf)
         t1 = time.time()
         d, _ = tree.query(queries[:, :3], workers=-1)
         logger.info("resolve full-tree: build %.2fs query %.2fs"
