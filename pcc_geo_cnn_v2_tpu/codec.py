@@ -524,12 +524,17 @@ class BlockCodec:
 
     def compress_blocks_device_opt(self, blocks, binstr, points, resolution,
                                    level, opt_metrics=("d1_mse",),
-                                   max_deltas=(np.inf,), with_normals=False):
+                                   max_deltas=(np.inf,), with_normals=False,
+                                   need_metrics=True):
         """Encoder with the fused on-device threshold sweep.
 
         Same outputs as :meth:`compress_blocks`; ~256 host KD-tree metric
         evaluations per block collapse into the jitted device pass. With
         normals (blocks carry nx,ny,nz columns) d2_* metrics are supported.
+
+        :param need_metrics: compute full-cloud enc-side metrics even for
+            groups whose selection doesn't need them (single candidate);
+            ``False`` leaves ``metadata[g]["metrics"]`` as None there.
         """
         import time
 
@@ -634,6 +639,7 @@ class BlockCodec:
             metadata = self._select_best_device(
                 binstr, x_hat_points, dev_keep["packed_occ"],
                 packed_dev_by_metric, opt_names, points, resolution, level,
+                need_metrics=need_metrics,
             )
         t_select = time.time() - t0
         logger.info(
@@ -648,19 +654,59 @@ class BlockCodec:
         ]
         return data_list, metadata
 
+    def _d1_full_cloud_metrics(self, occ_packed, mask_packed, origins,
+                               x_hat_blocks, points, resolution):
+        """Exact full-cloud D1 metrics of one candidate, device-first.
+
+        Sums come from the halo-EDT device pass; the rare > halo outliers
+        resolve on host WITHOUT ever building a KD-tree over the full
+        candidate cloud (decoded clouds can dwarf the original —
+        ``resolve_outliers`` ring search touches only blocks near each
+        outlier). B-outliers query a tree over the original points, which
+        is small and built once per call.
+        """
+        import time
+
+        from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
+            blockwise_d1_sums,
+            d1_metrics_from_sums,
+            resolve_outliers,
+        )
+
+        t0 = time.time()
+        sums = blockwise_d1_sums(occ_packed, mask_packed, origins,
+                                 self.block_size, batch=64)
+        t_sums = time.time() - t0
+        if sums["n_b"] == 0:  # all blocks hit the failure guard
+            return {"d1_psnr": -np.inf}
+        t0 = time.time()
+        metrics = d1_metrics_from_sums(
+            sums, resolution - 1, points_a=points[:, :3],
+            resolve_a=lambda q: resolve_outliers(
+                q, x_hat_blocks, origins, self.block_size,
+                full_tree_limit=2_000_000,
+            ),
+        )
+        logger.info("d1 full-cloud: sums %.2fs, resolve %.2fs (%d+%d "
+                    "outliers; %d orig / %d cand pts)", t_sums,
+                    time.time() - t0, len(sums["outliers_a"]),
+                    len(sums["outliers_b"]), sums["n_a"], sums["n_b"])
+        return metrics
+
     def _select_best_device(self, binstr, x_hat_points, occ_packed,
                             masks_packed, opt_names, points, resolution,
-                            level, opt_groups=("d1", "d2")):
+                            level, opt_groups=("d1", "d2"),
+                            need_metrics=True):
         """Best-variant selection with full-cloud D1 metrics on device.
 
         Same semantics as :func:`select_best_per_opt_metric` for d1 groups
         (exact sums via halo EDTs, ops/cloud_metrics); host KD-trees only
-        touch the rare > halo outliers.
+        touch the rare > halo outliers. A group with a SINGLE candidate
+        skips the comparative metric entirely (argmax over one is a
+        no-op, ``model_types.py:128-176`` semantics unchanged); its
+        metrics are computed only when ``need_metrics`` asks for the
+        enc-side metric sidecar.
         """
-        from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
-            blockwise_d1_sums,
-            d1_metrics_from_sums,
-        )
         from pcc_geo_cnn_v2_tpu.utils.octree import block_origins
 
         bbox_min = [0, 0, 0]
@@ -677,67 +723,37 @@ class BlockCodec:
             assert group == "d1", (
                 "device selection covers d1 groups; d2 requires normals"
             )
-            import time
-
-            metrics_full = []
-            departed_cache = {}
-
-            def departed(i):
-                if i not in departed_cache:
-                    departed_cache[i] = departition_octree(
-                        x_hat_points[i], binstr, bbox_min, bbox_max, level
-                    )
-                return departed_cache[i]
-
-            from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import build_cloud_tree
-
-            with ThreadPoolExecutor(1) as pool:
-                # candidate-cloud KD-trees for A-outlier resolution, built
-                # CONCURRENTLY with the device sums passes (the main
-                # thread is mostly blocked on TPU fetches, which release
-                # the GIL); futures are consumed in submission order and
-                # popped, so at most ~one finished tree is retained
-                tree_futs = {
-                    i: pool.submit(build_cloud_tree, x_hat_points[i],
-                                   origins)
-                    for _, i in entries
-                }
-                for nm, i in entries:
-                    t0 = time.time()
-                    sums = blockwise_d1_sums(
+            if len(entries) == 1:
+                nm, best_idx = entries[0]
+                best_metrics = (
+                    self._d1_full_cloud_metrics(
+                        occ_packed, masks_packed[best_idx], origins,
+                        x_hat_points[best_idx], points, resolution,
+                    ) if need_metrics else None
+                )
+                logger.info("group %s: single candidate %s [selection "
+                            "skipped]", group, nm)
+            else:
+                metrics_full = [
+                    self._d1_full_cloud_metrics(
                         occ_packed, masks_packed[i], origins,
-                        self.block_size, batch=64,
+                        x_hat_points[i], points, resolution,
                     )
-                    t_sums = time.time() - t0
-                    t0 = time.time()
-                    tree = tree_futs.pop(i).result()
-                    if sums["n_b"] == 0:  # all blocks hit failure guard
-                        metrics_full.append({"d1_psnr": -np.inf})
-                        continue
-
-                    def resolve_a(q, tree=tree):
-                        d, _ = tree.query(q[:, :3], workers=-1)
-                        return d ** 2
-
-                    metrics_full.append(
-                        d1_metrics_from_sums(sums, resolution - 1,
-                                             points_a=points[:, :3],
-                                             resolve_a=resolve_a)
-                    )
-                    del tree
-                    logger.info("metric %s: sums %.2fs, resolve %.2fs "
-                                "(%d+%d outliers)", nm, t_sums,
-                                time.time() - t0, len(sums["outliers_a"]),
-                                len(sums["outliers_b"]))
-            scores = [m["d1_psnr"] for m in metrics_full]
-            local_best = int(np.argmax(scores))
-            nm, best_idx = entries[local_best]
-            logger.info("group %s: best %s (d1_psnr=%.2f) [device metric]",
-                        group, nm, scores[local_best])
-            blocks_depart = departed(best_idx)
+                    for _, i in entries
+                ]
+                scores = [m["d1_psnr"] for m in metrics_full]
+                local_best = int(np.argmax(scores))
+                nm, best_idx = entries[local_best]
+                best_metrics = metrics_full[local_best]
+                logger.info("group %s: best %s (d1_psnr=%.2f) "
+                            "[device metric]", group, nm,
+                            scores[local_best])
+            blocks_depart = departition_octree(
+                x_hat_points[best_idx], binstr, bbox_min, bbox_max, level
+            )
             metadata.append({
                 "idx": best_idx,
-                "metrics": metrics_full[local_best],
+                "metrics": best_metrics,
                 "x_hat_list": x_hat_points[best_idx],
                 "blocks_depart": blocks_depart,
                 "blocks_full": np.vstack(blocks_depart),
