@@ -166,48 +166,44 @@ class BlockCodec:
                 model.conditional.scale_table, model.conditional.tail_mass
             )
 
-        # One fused executable: voxelize + transforms + quantize. Eager op
-        # dispatch is pathologically slow over the remote-TPU tunnel.
+        # One fused executable per pass: eager op dispatch is
+        # pathologically slow over the remote-TPU tunnel.
         size = self.block_size
         self._encode = jax.jit(
             lambda params, pts: self.model.apply(
                 params, voxelize(pts, size), method=self.model.encode
             )
         )
-        self._encode_opt_cache = {}
+        self._encode_syms_cache = {}
+        self._sweep_mask_cache = {}
+
+        # Bit-exactness contract: x_hat probability grids are ALWAYS
+        # materialized by ONE shared decode executable (``_dec_fn``) on
+        # both encoder and decoder; thresholding/bit-packing then operate
+        # on identical concrete f32 values, so mask computations may live
+        # in different executables (f32 compare is exact — no fusion can
+        # change it). The reference approximated this property with a
+        # 100-retry debug loop (``decompress_octree.py:64-131``).
         def _mask_pack(x_hat, thr):
             mask = x_hat[..., 0] > thr[:, None, None, None]
             return jnp.packbits(mask.reshape(mask.shape[0], -1), axis=-1,
                                 bitorder="big")
 
+        self._mask_pack = jax.jit(_mask_pack)
         if self.is_v2:
             self._decode_z = jax.jit(
                 lambda params, s: self.model.apply(
                     params, s, method=self.model.decode_z
                 )[1].astype(jnp.uint8)
             )
-            self._decode_y = jax.jit(
+            self._dec_fn = jax.jit(
                 lambda params, s: self.model.apply(
                     params, s, method=self.model.decode_y)
             )
-            # decode + threshold + bitpack on device (decoded probability
-            # grids are 256x bigger than the packed masks)
-            self._decode_y_mask = jax.jit(
-                lambda params, s, thr: _mask_pack(
-                    self.model.apply(params, s,
-                                     method=self.model.decode_y), thr
-                )
-            )
         else:
-            self._decode = jax.jit(
+            self._dec_fn = jax.jit(
                 lambda params, s: self.model.apply(
                     params, s, method=self.model.decode)
-            )
-            self._decode_mask = jax.jit(
-                lambda params, s, thr: _mask_pack(
-                    self.model.apply(params, s,
-                                     method=self.model.decode), thr
-                )
             )
 
     # -- shape helpers ----------------------------------------------------
@@ -389,26 +385,35 @@ class BlockCodec:
                                    + nrm.shape[1:], nrm.dtype)]
                 )
             arrays.append(jnp.asarray(nrm))
-        out = self._encode_opt_fn(opt_metrics, max_deltas, with_normals)(
-            self.params, *arrays
-        )
+        out = self._encode_syms_fn(with_normals)(self.params, *arrays)
         # same widen step as the real run (full-width copies stay on
         # device; only int8 + counts cross the tunnel), so warmup encodes
         # correct symbols even for |sym| > 127 blocks. Note: only the
         # dtype actually present in the warmup data gets its decoder
         # executables compiled — a wider cloud later pays a fresh compile.
+        dev_only = ("pts16", "nrm")
         dev_keep = {k: out[k] for k in list(out)
-                    if k.endswith("_full") or k in ("y_sym", "z_sym")}
+                    if k.endswith("_full") or k in ("y_sym", "z_sym")
+                    or k in dev_only}
         for k in list(out):
-            if k.endswith("_full"):
+            if k.endswith("_full") or k in dev_only:
                 out.pop(k)
         out = jax.device_get(out)
         out.pop("dup_count", None)  # padding blocks alias (0,0,0)
-        self._widen_symbols(out, dev_keep)
+        sym_dev = self._widen_symbols(out, dev_keep)
         if self.is_v2:
             out["y_idx"] = jax.device_get(
-                self._decode_z(self.params, narrow_symbols(out["z_sym"]))
+                self._decode_z(self.params, sym_dev["z_sym"])
             )
+        # canonical decode + sweep + masks on the same chunk
+        x_hat = self._dec_fn(self.params, sym_dev["y_sym"])
+        sweep_mask = self._sweep_mask_fn(opt_metrics, max_deltas,
+                                         with_normals)
+        sm_args = [self.params, out["packed_occ"], x_hat,
+                   dev_keep["pts16"]]
+        if with_normals:
+            sm_args.append(dev_keep["nrm"])
+        jax.block_until_ready(sweep_mask(*sm_args)["picks"])
         payload = [(self.entropy_encode(out, i), 128) for i in range(2)]
         self.decompress_blocks(payload)
         # compile the full-cloud metric chunk (ops/cloud_metrics)
@@ -444,21 +449,64 @@ class BlockCodec:
                              self.eb_table)
         return (y_string,)
 
-    def _encode_opt_fn(self, opt_metrics, max_deltas, with_normals=False):
-        """Jitted encode + on-device threshold sweep.
+    def _encode_syms_fn(self, with_normals=False):
+        """Jitted analysis pass: points → symbols (no synthesis, no sweep).
 
-        One fused executable: XLA shares/fuses the analysis, decode-path
-        and sweep intermediates — a split (symbols pass + separate sweep
-        pass over the decoder synthesis) measured ~10% SLOWER end-to-end.
-        y_idx and the reconstruction masks are still NOT taken from here:
-        XLA fuses the decode path differently than in the decoder's own
-        executables, and one-ulp drift near a CDF-index or threshold
-        boundary would corrupt the stream / flip voxels; the driver reruns
-        the decoder executables on the symbols (bit-exact by construction).
+        The decode path runs ONCE later via the decoder-canonical
+        executables (``_dec_fn``) whose materialized x_hat also feeds the
+        threshold sweep — round 1 ran synthesis 1 + n_metrics times per
+        block; this design runs it exactly once.
+        """
+        if with_normals in self._encode_syms_cache:
+            return self._encode_syms_cache[with_normals]
+        size = self.block_size
+
+        def fn(params, pts, normals=None):
+            x = voxelize(pts, size)
+            out = self.model.apply(params, x,
+                                   method=self.model.encode_syms)
+            occ = x[..., 0]
+            res = self._compact(out, narrow=True)
+            # packed original occupancy feeds the sweep and the on-device
+            # full-cloud metric (ops/cloud_metrics); 1 bit/voxel
+            res["packed_occ"] = jnp.packbits(
+                (occ > 0).reshape(occ.shape[0], -1), axis=-1,
+                bitorder="big"
+            )
+            # duplicate-voxel guard (the Pallas sweep's sparse AB sums
+            # double-count duplicated points; callers must dedup — this
+            # turns silent corruption into a loud error)
+            valid = jnp.all((pts >= 0) & (pts < size), axis=-1)
+            res["dup_count"] = (
+                jnp.sum(valid, axis=-1).astype(jnp.int32)
+                - jnp.sum(occ > 0, axis=(1, 2, 3)).astype(jnp.int32)
+            )
+            # device-retained: full-width symbols (wide-block re-fetch),
+            # compact point lists (re-used by the sweep pass tunnel-free)
+            res["y_sym_full"] = out["y_sym"]
+            if "z_sym" in out:
+                res["z_sym_full"] = out["z_sym"]
+            res["pts16"] = pts.astype(jnp.int16)
+            if with_normals:
+                res["nrm"] = normals  # f32: d2 sweep parity needs full precision
+            return res
+
+        jitted = jax.jit(fn)
+        self._encode_syms_cache[with_normals] = jitted
+        return jitted
+
+    def _sweep_mask_fn(self, opt_metrics, max_deltas, with_normals=False):
+        """Jitted threshold sweep + per-metric mask packing.
+
+        Consumes the MATERIALIZED x_hat from the decoder-canonical decode
+        executable; picks thresholds (reference selection semantics, see
+        ops/threshold_sweep) and packs the per-metric candidate masks in
+        the same dispatch. Masks equal the decoder's bit-for-bit because
+        both sides compare the same concrete x_hat values (see __init__).
         """
         key = (tuple(opt_metrics), tuple(max_deltas), with_normals)
-        if key in self._encode_opt_cache:
-            return self._encode_opt_cache[key]
+        if key in self._sweep_mask_cache:
+            return self._sweep_mask_cache[key]
         from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
             select_thresholds_d1_batch,
             select_thresholds_d1_pallas,
@@ -469,57 +517,46 @@ class BlockCodec:
         size = self.block_size
         thresholds = jnp.asarray(self.thresholds, jnp.float32)
         backend = self.sweep_backend
+        n_metrics = len(opt_metrics) * len(max_deltas)
 
-        def fn(params, pts, normals=None):
-            x = voxelize(pts, size)
-            out = self.model.apply(params, x, method=self.model.encode)
-            occ = x[..., 0]
-            x_hat = out.pop("x_hat")[..., 0]
+        def fn(params, occ_packed, x_hat, pts16, nrm=None):
+            del params  # sweep is model-free; signature matches _run_chunked
+            occ = jnp.unpackbits(
+                occ_packed, axis=-1, bitorder="big"
+            ).reshape(-1, size, size, size).astype(jnp.float32)
+            xh = x_hat[..., 0]
+            pts = pts16.astype(jnp.int32)
             if with_normals:
-                ngrid = voxelize_attrs(pts, normals, size)
+                ngrid = voxelize_attrs(pts, nrm, size)
                 picks = jax.lax.map(
                     lambda args: select_thresholds_device(
                         args[0], args[1], thresholds, normals=args[2],
                         opt_metrics=opt_metrics, max_deltas=max_deltas,
                     ),
-                    (occ, x_hat, ngrid),
+                    (occ, xh, ngrid),
                 )
             elif backend == "pallas":
                 picks = select_thresholds_d1_pallas(
-                    occ, x_hat, thresholds, opt_metrics=opt_metrics,
+                    occ, xh, thresholds, opt_metrics=opt_metrics,
                     max_deltas=max_deltas, pts=pts,
                 )
             else:
                 picks = select_thresholds_d1_batch(
-                    occ, x_hat, thresholds, opt_metrics=opt_metrics,
+                    occ, xh, thresholds, opt_metrics=opt_metrics,
                     max_deltas=max_deltas,
                 )  # [N, M]
-            out.pop("y_idx", None)
-            out["picks"] = picks
-            # packed original occupancy feeds the on-device full-cloud
-            # metric (ops/cloud_metrics); 1 bit/voxel, stays on device
-            out["packed_occ"] = jnp.packbits(
-                (occ > 0).reshape(occ.shape[0], -1), axis=-1, bitorder="big"
-            )
-            # duplicate-voxel guard (the Pallas sweep's sparse AB sums
-            # double-count duplicated points; callers must dedup — this
-            # turns silent corruption into a loud error)
-            valid = jnp.all((pts >= 0) & (pts < size), axis=-1)
-            res = self._compact(out, narrow=True)
-            res["dup_count"] = (
-                jnp.sum(valid, axis=-1).astype(jnp.int32)
-                - jnp.sum(occ > 0, axis=(1, 2, 3)).astype(jnp.int32)
-            )
-            # full-width symbols retained on device only (keep_device):
-            # the decoder-canonical passes read them, and rare blocks with
-            # |symbol| > 127 re-fetch their full rows from here
-            res["y_sym_full"] = out["y_sym"]
-            if "z_sym" in out:
-                res["z_sym_full"] = out["z_sym"]
-            return res
+            out = {"picks": picks}
+            thr = jnp.take(thresholds, picks, axis=0)  # [N, M]
+            for m in range(n_metrics):
+                mask = xh > thr[:, m][:, None, None, None]
+                out[f"masks{m}"] = jnp.packbits(
+                    mask.reshape(mask.shape[0], -1), axis=-1,
+                    bitorder="big"
+                )
+            return out
 
         jitted = jax.jit(fn)
-        self._encode_opt_cache[key] = jitted
+        self._sweep_mask_cache[key] = jitted
         return jitted
 
     def compress_blocks_device_opt(self, blocks, binstr, points, resolution,
@@ -556,14 +593,17 @@ class BlockCodec:
         if with_normals:
             arrays.append(pack_attrs(blocks, [3, 4, 5], budget))
         t0 = time.time()
-        # fused encode + sweep; full-width symbols and occupancy stay on
-        # device (canonical/metric passes never re-upload them), the host
+        # analysis pass: full-width symbols, occupancy and point lists
+        # stay on device (later passes never re-upload them); the host
         # receives int8 symbols + per-block wide counts
-        keep = ("packed_occ", "y_sym_full") + (("z_sym_full",) if self.is_v2
-                                               else ())
+        keep = ("packed_occ", "y_sym_full", "pts16")
+        if self.is_v2:
+            keep += ("z_sym_full",)
+        if with_normals:
+            keep += ("nrm",)
         copies = ("y_sym",) + (("z_sym",) if self.is_v2 else ())
         out, dev_keep = self._run_chunked(
-            self._encode_opt_fn(opt_metrics, max_deltas, with_normals),
+            self._encode_syms_fn(with_normals),
             arrays, n, keep_device=keep, device_copies=copies,
         )
         dup = out.pop("dup_count")
@@ -574,15 +614,16 @@ class BlockCodec:
                 "the sparse sweep sums would silently double-count"
             )
         sym_dev = self._widen_symbols(out, dev_keep)
-        picks = np.asarray(out["picks"])
-        t_fused = time.time() - t0
-        t_device = t_fused
+        t_syms = time.time() - t0
+        t_device = t_syms
 
-        # Decoder-canonical passes: CDF-row indexes and the embedded
-        # reconstructions come from the SAME executables the decoder runs
-        # (same HLO → same fusion → bit-identical), the merged-decode
-        # guarantee the reference approximated with its retry loop
-        # (decompress_octree.py:64-131).
+        # Decoder-canonical passes: CDF-row indexes and x_hat come from
+        # the SAME executables the decoder runs (same HLO → same fusion →
+        # bit-identical), the merged-decode guarantee the reference
+        # approximated with its retry loop (decompress_octree.py:64-131).
+        # Synthesis runs exactly ONCE per block; its materialized x_hat
+        # feeds the threshold sweep and all per-metric masks in the same
+        # per-chunk dispatch.
         t0 = time.time()
         opt_names = [f"{m}_{d}" for d in max_deltas for m in opt_metrics]
         n_metrics = len(opt_names)
@@ -590,20 +631,28 @@ class BlockCodec:
             out["y_idx"] = self._run_chunked(
                 self._decode_z, [sym_dev["z_sym"]], n
             )
-        mask_fn = self._decode_y_mask if self.is_v2 else self._decode_mask
-        packed_by_metric = []
-        packed_dev_by_metric = []
-        for m in range(n_metrics):
-            host_m, dev_m = self._run_chunked(
-                mask_fn,
-                [sym_dev["y_sym"],
-                 self.thresholds[picks[:, m]].astype(np.float32)],
-                n, also_device=True,
-            )
-            packed_by_metric.append(host_m)
-            packed_dev_by_metric.append(dev_m)
-        t_canonical = time.time() - t0
-        t_device += t_canonical
+        sweep_mask = self._sweep_mask_fn(opt_metrics, max_deltas,
+                                         with_normals)
+
+        def dec_sweep(params, y_chunk, occ_chunk, pts_chunk, *nrm_chunk):
+            x_hat = self._dec_fn(params, y_chunk)
+            return sweep_mask(params, occ_chunk, x_hat, pts_chunk,
+                              *nrm_chunk)
+
+        arrays2 = [sym_dev["y_sym"], dev_keep["packed_occ"],
+                   dev_keep["pts16"]]
+        if with_normals:
+            arrays2.append(dev_keep["nrm"])
+        mask_keys = tuple(f"masks{m}" for m in range(n_metrics))
+        out2, mask_dev = self._run_chunked(
+            dec_sweep, arrays2, n, device_copies=mask_keys,
+        )
+        picks = np.asarray(out2["picks"])
+        packed_by_metric = [out2[f"masks{m}"] for m in range(n_metrics)]
+        packed_dev_by_metric = [mask_dev[f"masks{m}"]
+                                for m in range(n_metrics)]
+        t_dec_sweep = time.time() - t0
+        t_device += t_dec_sweep
 
         t0 = time.time()
         with ThreadPoolExecutor(self.threads) as pool:
@@ -644,9 +693,9 @@ class BlockCodec:
         t_select = time.time() - t0
         logger.info(
             "compress_blocks_device_opt(%d blocks): device %.2fs "
-            "(fused %.2fs, canonical %.2fs), entropy %.2fs, unpack %.2fs, "
+            "(syms %.2fs, dec+sweep %.2fs), entropy %.2fs, unpack %.2fs, "
             "select %.2fs",
-            n, t_device, t_fused, t_canonical, t_entropy, t_unpack, t_select,
+            n, t_device, t_syms, t_dec_sweep, t_entropy, t_unpack, t_select,
         )
         by_metric = list(map(list, zip(*threshold_list)))
         data_list = [
@@ -798,17 +847,22 @@ class BlockCodec:
         opt_names = results[0][0]
         threshold_list = [r[1] for r in results]  # [block][metric]
         # per metric -> per block candidate point lists, from the DECODER's
-        # mask executable (not this path's x_hat): the threshold search
-        # above may use the fused x_hat freely, but embedded reconstructions
-        # must be bit-identical to decompress_blocks output (one-ulp fusion
-        # drift near a picked threshold would flip voxels otherwise)
-        mask_fn = self._decode_y_mask if self.is_v2 else self._decode_mask
+        # canonical decode executable (not this path's x_hat): the
+        # threshold search above may use the fused x_hat freely, but
+        # embedded reconstructions must be bit-identical to
+        # decompress_blocks output (one-ulp fusion drift near a picked
+        # threshold would flip voxels otherwise)
         bsz = self.block_size
         y_narrow = narrow_symbols(out["y_sym"])
+
+        def dec_mask(params, y_chunk, thr_chunk):
+            return self._mask_pack(self._dec_fn(params, y_chunk),
+                                   thr_chunk)
+
         x_hat_points = []
         for col in map(list, zip(*threshold_list)):
             packed = self._run_chunked(
-                mask_fn,
+                dec_mask,
                 [y_narrow,
                  self.thresholds[np.asarray(col)].astype(np.float32)],
                 n,
@@ -849,6 +903,13 @@ class BlockCodec:
         )
 
         narrow = narrow_symbols
+
+        def dec_mask(params, y_chunk, thr_chunk):
+            # same decode executable as the encoder's canonical pass;
+            # the mask compares materialized f32 values (bit-exact)
+            return self._mask_pack(self._dec_fn(params, y_chunk),
+                                   thr_chunk)
+
         if self.is_v2:
             z_idx = self._channel_indexes(self.z_shape)
             with ThreadPoolExecutor(self.threads) as pool:
@@ -874,7 +935,6 @@ class BlockCodec:
                         )
                     )
                 ))
-            packed = self._run_chunked(self._decode_y_mask, [y_syms, thr], n)
         else:
             y_idx = self._channel_indexes(self.y_shape)
             with ThreadPoolExecutor(self.threads) as pool:
@@ -886,7 +946,7 @@ class BlockCodec:
                         )
                     )
                 ))
-            packed = self._run_chunked(self._decode_mask, [y_syms, thr], n)
+        packed = self._run_chunked(dec_mask, [y_syms, thr], n)
 
         dec_blocks = []
         for i in range(n):

@@ -65,6 +65,13 @@ class CompressionModelV1(nn.Module):
         x_hat = self.decode(y_sym)
         return {"y_sym": y_sym, "x_hat": x_hat}
 
+    def encode_syms(self, x):
+        """Symbols only — no synthesis. The codec reconstructs via the
+        decoder-canonical :meth:`decode` executable instead (running
+        synthesis here too would double the encoder's conv work)."""
+        y = self.analysis_t(x).astype(jnp.float32)
+        return {"y_sym": self.entropy_bottleneck.quantize_symbols(y)}
+
     def decode(self, y_sym):
         y_hat = self.entropy_bottleneck.dequantize_symbols(y_sym)
         x_hat = self.synthesis_t(y_hat).astype(jnp.float32)
@@ -130,6 +137,19 @@ class CompressionModelV2(nn.Module):
         sigma, y_idx = self.decode_z(z_sym)
         x_hat = self.decode_y(y_sym)
         return {"z_sym": z_sym, "y_sym": y_sym, "y_idx": y_idx, "x_hat": x_hat}
+
+    def encode_syms(self, x):
+        """Symbols only — the analysis half (y, z quantization) without the
+        decoder-side recomputation :meth:`encode` performs; the codec runs
+        the decoder-canonical ``decode_z``/``decode_y`` executables on the
+        symbols instead (same executables the decoder runs → bit-exact)."""
+        y = self.analysis_t(x)
+        z = self.hyper_analysis_t(y).astype(jnp.float32)
+        return {
+            "z_sym": self.entropy_bottleneck.quantize_symbols(z),
+            "y_sym": self.conditional.quantize_symbols(
+                y.astype(jnp.float32)),
+        }
 
     def decode_z(self, z_sym):
         """ẑ symbols → (σ̂, per-element y CDF-row indexes)."""
