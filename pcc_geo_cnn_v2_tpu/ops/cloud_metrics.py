@@ -26,12 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcc_geo_cnn_v2_tpu.ops.edt import banded_squared_edt
+from pcc_geo_cnn_v2_tpu.ops.edt import (
+    banded_squared_edt,
+    banded_squared_edt_argmin,
+)
 
 logger = logging.getLogger(__name__)
 
 __all__ = ["neighbor_table", "blockwise_d1_sums", "d1_metrics_from_sums",
-           "resolve_outliers"]
+           "resolve_outliers", "blockwise_nn_offsets", "blockwise_d2_metrics"]
 
 
 def neighbor_table(origins, block_size):
@@ -247,6 +250,243 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("size", "halo"))
+def _halo_nn_offsets_chunk(qry_pts, tgt_nb, *, size, halo):
+    """NN offsets of per-block query points into the target halo volume.
+
+    For each query point (local block coords; rows with any coord < 0 are
+    padding) the integer offset to its nearest occupied target voxel,
+    exact whenever that NN is within ``halo`` (banded argmin EDT over the
+    27-neighborhood volume); farther queries are flagged unresolved.
+
+    :param qry_pts: [bs, P, 3] integer local coords.
+    :param tgt_nb: [bs, 27, B³/8] packed target occupancy neighborhoods.
+    :return: dict(off [bs,P,3] int8, ok [bs,P] bool, valid [bs,P] bool).
+    """
+    def unpack(p):
+        return jnp.unpackbits(p.reshape(p.shape[0], 27, -1), axis=-1,
+                              bitorder="big")
+
+    bs = qry_pts.shape[0]
+    H = size + 2 * halo
+    vol = _assemble_halo(unpack(tgt_nb), size, halo)
+    dist, nnf = banded_squared_edt_argmin(vol > 0, halo)
+    q = qry_pts.astype(jnp.int32)
+    valid = jnp.all((q >= 0) & (q < size), axis=-1)
+    qh = jnp.clip(q, 0, size - 1) + halo
+    flat_q = (qh[..., 0] * H + qh[..., 1]) * H + qh[..., 2]
+    d_at = jnp.take_along_axis(dist.reshape(bs, -1), flat_q, axis=1)
+    nn_at = jnp.take_along_axis(nnf.reshape(bs, -1), flat_q, axis=1)
+    nn = jnp.stack([nn_at // (H * H), (nn_at // H) % H, nn_at % H], -1)
+    off = nn - qh
+    ok = valid & (d_at <= float(halo * halo))
+    return {"off": off.astype(jnp.int8), "ok": ok, "valid": valid}
+
+
+def blockwise_nn_offsets(qry_pts, tgt_packed, origins, size, halo=12,
+                         batch=16):
+    """Exact NN offsets of every query point against a blockwise target
+    cloud (device halo EDTs; NN beyond ``halo`` flagged for host resolve).
+
+    :param qry_pts: [N, P, 3] int per-block padded point lists (device or
+        host; coords < 0 are padding).
+    :param tgt_packed: [N, B³/8] packed target occupancy (device or host).
+    :return: host dict(off [N,P,3] int8, ok [N,P] bool, valid [N,P] bool).
+    """
+    n = len(origins)
+    nb = neighbor_table(origins, size)
+    tgt_dev = jnp.asarray(tgt_packed)
+    zero_row = jnp.zeros((1, tgt_dev.shape[1]), tgt_dev.dtype)
+    tgt_ext = jnp.concatenate([tgt_dev, zero_row])
+    nb_j = jnp.asarray(np.where(nb < 0, n, nb))
+    qry = qry_pts if isinstance(qry_pts, jax.Array) else jnp.asarray(qry_pts)
+    outs = []
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        idx = nb_j[lo:hi]
+        q = qry[lo:hi]
+        if hi - lo < batch:
+            idx = jnp.concatenate(
+                [idx, jnp.full((batch - (hi - lo), 27), n, jnp.int32)])
+            q = jnp.concatenate(
+                [q, jnp.full((batch - (hi - lo),) + q.shape[1:], -1,
+                             q.dtype)])
+        outs.append(_halo_nn_offsets_chunk(
+            q, jnp.take(tgt_ext, idx, axis=0), size=size, halo=halo))
+    res = jax.device_get({
+        k: jnp.concatenate([o[k] for o in outs])[:n] for k in outs[0]
+    })
+    return res
+
+
+def _flat_key(coords, resolution):
+    c = np.asarray(coords, np.int64)
+    return (c[:, 0] * resolution + c[:, 1]) * resolution + c[:, 2]
+
+
+def blockwise_d2_metrics(a_pts, a_nrm, b_packed, b_blocks, origins, size,
+                         resolution, points, halo=12, batch=16,
+                         qry_b=None, with_d1=False):
+    """Exact full-cloud D2 (point-to-plane) metrics, device-first.
+
+    Semantics mirror ``utils/metrics.py:compute_metrics`` (itself pinned
+    to the reference's ``pc_metric.py:76-138``): candidate normals are the
+    vote-mean of original normals over the original→candidate NN map
+    (``assign_attr``), AB projects each original point's error on its NN
+    candidate's transferred normal, BA projects each candidate's error on
+    its NN original's normal. NN identities come from banded argmin EDTs
+    on device; only int8 offsets + flags cross to the host, where votes
+    and projections run vectorized in f64 on the ORIGINAL full-precision
+    normals. Equal-distance ties may pick different neighbors than a
+    KD-tree (deviation the reference documents, ``pc_metric.py:114``).
+
+    :param a_pts: [N, P, 3] per-block original point lists (device ok).
+    :param a_nrm: [N, P, 3] matching normals (host, f32).
+    :param b_packed: [N, B³/8] candidate masks (device ok).
+    :param b_blocks: candidate per-block point lists (host, for outlier
+        ring resolution and the B-side queries).
+    :param points: [N0, ≥6] original cloud with normal columns 3:6.
+    :param qry_b: optional prepacked [N, Pb, 3] candidate point lists;
+        packed from ``b_blocks`` when absent.
+    :param with_d1: also emit d1_* keys from the same offsets.
+    """
+    import time
+
+    from pcc_geo_cnn_v2_tpu.ops.voxel import pack_points
+
+    t0 = time.time()
+    origins = np.asarray(origins, np.int64)
+    n_b_total = sum(len(b) for b in b_blocks)
+    if n_b_total == 0:
+        return {"d2_psnr": -np.inf, "d1_psnr": -np.inf}
+    # device passes: A→B and B→A NN offsets
+    ab = blockwise_nn_offsets(a_pts, b_packed, origins, size, halo=halo,
+                              batch=batch)
+    if qry_b is None:
+        budget = max(int(2 ** np.ceil(np.log2(
+            max(len(b) for b in b_blocks)))), 64)
+        qry_b, _ = pack_points(b_blocks, max_points=budget)
+    # original occupancy re-packed from the A point lists
+    a_host = np.asarray(jax.device_get(a_pts))
+    occ_a = np.zeros((len(origins), size ** 3), np.uint8)
+    av = np.all((a_host >= 0) & (a_host < size), axis=-1)
+    bi, pi = np.nonzero(av)
+    flat = (a_host[bi, pi, 0].astype(np.int64) * size
+            + a_host[bi, pi, 1]) * size + a_host[bi, pi, 2]
+    occ_a[bi, flat] = 1
+    occ_a = np.packbits(occ_a, axis=-1, bitorder="big")
+    ba = blockwise_nn_offsets(qry_b, occ_a, origins, size, halo=halo,
+                              batch=batch)
+    t_dev = time.time() - t0
+
+    t0 = time.time()
+    # flatten to global point rows
+    def flatten(pts_host, res):
+        v = res["valid"]
+        bi, pi = np.nonzero(v)
+        glob = (np.asarray(pts_host)[bi, pi, :3].astype(np.int64)
+                + origins[bi])
+        return glob, res["off"][bi, pi].astype(np.int64), res["ok"][bi, pi]
+
+    a_glob, a_off, a_ok = flatten(a_host, ab)
+    a_n = a_nrm[np.nonzero(ab["valid"])].astype(np.float64)
+    b_glob, b_off, b_ok = flatten(qry_b, ba)
+
+    # resolve out-of-halo NNs on host (identity needed, not just distance)
+    a_tgt = a_glob + a_off
+    if not a_ok.all():
+        _, nn = resolve_outliers(a_glob[~a_ok], b_blocks, origins, size,
+                                 full_tree_limit=2_000_000, return_nn=True)
+        a_tgt[~a_ok] = nn
+    b_tgt = b_glob + b_off
+    if not b_ok.all():
+        from scipy.spatial import cKDTree
+
+        t1 = cKDTree(points[:, :3], balanced_tree=False)
+        _, idx = t1.query(b_glob[~b_ok], workers=-1)
+        b_tgt[~b_ok] = np.asarray(points[idx, :3], np.int64)
+    out = d2_from_identities(a_glob, a_n, a_tgt, b_glob, b_tgt, points,
+                             resolution, with_d1=with_d1)
+    logger.info("blockwise_d2_metrics: device %.2fs, host %.2fs "
+                "(%d orig / %d cand pts, %d+%d outliers)", t_dev,
+                time.time() - t0, len(a_glob), len(b_glob),
+                int((~a_ok).sum()), int((~b_ok).sum()))
+    return out
+
+
+def d2_from_identities(a_glob, a_n, a_tgt, b_glob, b_tgt, points,
+                       resolution, with_d1=False):
+    """Reference-exact D2 (and optional D1) metric dict from NN maps.
+
+    Pure vectorized f64 host math, identity-source agnostic: feed it
+    KD-tree identities and it reproduces ``compute_metrics`` bit-for-bit;
+    feed it the device EDT identities and only tie-broken neighbors can
+    differ.
+
+    :param a_glob / b_glob: [Na,3]/[Nb,3] original / candidate points.
+    :param a_n: [Na, 3] original normals.
+    :param a_tgt / b_tgt: NN of each original in the candidates / of each
+        candidate in the originals.
+    :param points: [N0, ≥6] original cloud (normal columns 3:6).
+    """
+    a_glob = np.asarray(a_glob, np.float64)
+    b_glob = np.asarray(b_glob, np.float64)
+    a_tgt = np.asarray(a_tgt, np.float64)
+    b_tgt = np.asarray(b_tgt, np.float64)
+    n_a, n_b = len(a_glob), len(b_glob)
+
+    # candidate normals: vote-mean of original normals over the A→B NN
+    # map (assign_attr semantics; orphans never appear in either sum)
+    key_t = _flat_key(a_tgt, resolution)
+    uniq, inv = np.unique(key_t, return_inverse=True)
+    sums = np.zeros((len(uniq), 3))
+    np.add.at(sums, inv, np.asarray(a_n, np.float64))
+    cnt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+    p2_n = sums / cnt[:, None]
+    ab_sum = float(np.sum(
+        np.sum((a_glob - a_tgt) * p2_n[inv], axis=1) ** 2))
+
+    # BA: original normals looked up by voxel key (original voxels unique)
+    pk = _flat_key(points[:, :3], resolution)
+    order = np.argsort(pk)
+    pos = np.searchsorted(pk[order], _flat_key(b_tgt, resolution))
+    n_at_tgt = np.asarray(points, np.float64)[order[pos], 3:6]
+    ba_sum = float(np.sum(
+        np.sum((b_glob - b_tgt) * n_at_tgt, axis=1) ** 2))
+
+    from pcc_geo_cnn_v2_tpu.utils.metrics import psnr
+
+    max_energy = 3.0 * (resolution - 1) ** 2
+    mse_ab = ab_sum / max(n_a, 1)
+    mse_ba = ba_sum / max(n_b, 1)
+    out = {
+        "d2_sum_AB": ab_sum, "d2_sum_BA": ba_sum,
+        "d2_sum_max": max(ab_sum, ba_sum),
+        "d2_sum_mean": (ab_sum + ba_sum) / 2,
+        "d2_mse_AB": mse_ab, "d2_mse_BA": mse_ba,
+        "d2_mse": max(mse_ab, mse_ba),
+        "d2_psnr_AB": psnr(mse_ab, max_energy),
+        "d2_psnr_BA": psnr(mse_ba, max_energy),
+        "d2_psnr": min(psnr(mse_ab, max_energy),
+                       psnr(mse_ba, max_energy)),
+    }
+    if with_d1:
+        d1_ab = float(np.sum(np.sum((a_glob - a_tgt) ** 2, axis=1)))
+        d1_ba = float(np.sum(np.sum((b_glob - b_tgt) ** 2, axis=1)))
+        m_ab, m_ba = d1_ab / max(n_a, 1), d1_ba / max(n_b, 1)
+        out.update({
+            "d1_sum_AB": d1_ab, "d1_sum_BA": d1_ba,
+            "d1_sum_max": max(d1_ab, d1_ba),
+            "d1_sum_mean": (d1_ab + d1_ba) / 2,
+            "d1_mse_AB": m_ab, "d1_mse_BA": m_ba,
+            "d1_mse": max(m_ab, m_ba),
+            "d1_psnr_AB": psnr(m_ab, max_energy),
+            "d1_psnr_BA": psnr(m_ba, max_energy),
+            "d1_psnr": min(psnr(m_ab, max_energy), psnr(m_ba, max_energy)),
+        })
+    return out
+
+
 def build_cloud_tree(blocks, origins):
     """KD-tree over a blockwise cloud in global coordinates (None if
     empty). Coordinates stay float32 (voxel grids are exact well past
@@ -262,7 +502,7 @@ def build_cloud_tree(blocks, origins):
 
 
 def resolve_outliers(queries, blocks, origins, size,
-                     full_tree_limit=20_000_000):
+                     full_tree_limit=20_000_000, return_nn=False):
     """Exact NN dist² of each query against a blockwise cloud.
 
     Clouds up to ``full_tree_limit`` points take one KD-tree over the whole
@@ -273,7 +513,11 @@ def resolve_outliers(queries, blocks, origins, size,
     per ring level r, ONE tree over the union of blocks within Chebyshev r
     of every pending query's cell. A result is certified when d ≤ r·size —
     each query's own ring-r neighborhood is a subset of the union, and
-    points outside its ring-r are > r·size away."""
+    points outside its ring-r are > r·size away.
+
+    :param return_nn: also return the NN coordinates [Q, 3] (D2 needs the
+        identity, not just the distance).
+    """
     from scipy.spatial import cKDTree
 
     queries = np.asarray(queries, np.float64)
@@ -281,24 +525,30 @@ def resolve_outliers(queries, blocks, origins, size,
     n_total = sum(len(b) for b in blocks)
     logger.info("resolve_outliers: %d queries vs %d blocks / %d points",
                 len(queries), len(blocks), n_total)
+
+    def ret(d2, nn):
+        return (d2, nn) if return_nn else d2
+
     if n_total <= full_tree_limit:
         import time
 
         t0 = time.time()
         tree = build_cloud_tree(blocks, origins)
         if tree is None:  # empty candidate cloud: no finite NN distance
-            return np.full(len(queries), np.inf)
+            return ret(np.full(len(queries), np.inf),
+                       np.zeros((len(queries), 3), np.int64))
         t1 = time.time()
-        d, _ = tree.query(queries[:, :3], workers=-1)
+        d, idx = tree.query(queries[:, :3], workers=-1)
         logger.info("resolve full-tree: build %.2fs query %.2fs"
                     " (%d pts, %d queries)", t1 - t0, time.time() - t1,
                     n_total, len(queries))
-        return d ** 2
+        return ret(d ** 2, np.asarray(tree.data)[idx].astype(np.int64))
     omap = {tuple(o): i for i, o in enumerate((origins // size).tolist())}
     max_ring = int(np.ceil(
         (origins.max() + size) / size
     )) if len(origins) else 1
     out = np.empty(len(queries))
+    out_nn = np.zeros((len(queries), 3), np.int64)
     qcell = (queries[:, :3] // size).astype(np.int64)
     pending = np.arange(len(queries))
     for ring in range(1, max_ring + 1):
@@ -316,13 +566,15 @@ def resolve_outliers(queries, blocks, origins, size,
         pts = [blocks[i][:, :3] + origins[i] for i in ids if len(blocks[i])]
         if not pts:
             continue
-        d, _ = cKDTree(np.vstack(pts), balanced_tree=False).query(
+        stacked = np.vstack(pts)
+        d, idx = cKDTree(stacked, balanced_tree=False).query(
             queries[pending, :3], workers=-1
         )
         done = (d <= ring * size) | (ring >= max_ring)
         out[pending[done]] = d[done] ** 2
+        out_nn[pending[done]] = stacked[idx[done]].astype(np.int64)
         pending = pending[~done]
-    return out
+    return ret(out, out_nn)
 
 
 def d1_metrics_from_sums(sums, r, points_a=None, points_b=None,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["INF", "squared_edt", "banded_squared_edt", "minplus_1d",
-           "squared_edt_argmin"]
+           "squared_edt_argmin", "banded_squared_edt_argmin"]
 
 INF = 1e12
 
@@ -72,6 +72,58 @@ def banded_squared_edt(occ, band):
     for ax in (-3, -2, -1):
         g = _banded_minplus_1d(g, band, ax)
     return g
+
+
+def _banded_minplus_1d_arg(g, carry, band, axis):
+    """Banded min-plus that also carries a value from the argmin source.
+
+    Like :func:`_banded_minplus_1d` but tracks, per output position, the
+    ``carry`` value of the winning source. Ties keep the first winner in
+    scan order (k=0, then +k/-k by increasing k) — a different tie rule
+    than KD-trees, acceptable for D2 per the reference's own note
+    (``pc_metric.py:114``).
+    """
+    gm = jnp.moveaxis(g, axis, -1)
+    cm = jnp.moveaxis(carry, axis, -1)
+    L = gm.shape[-1]
+    pad = [(0, 0)] * (gm.ndim - 1) + [(band, band)]
+    gp = jnp.pad(gm, pad, constant_values=INF)
+    cp = jnp.pad(cm, pad, constant_values=0.0)
+    out, outc = gm, cm
+    for k in range(1, band + 1):
+        k2 = float(k * k)
+        for sh in (band + k, band - k):
+            cand = gp[..., sh: sh + L] + k2
+            better = cand < out
+            out = jnp.where(better, cand, out)
+            outc = jnp.where(better, cp[..., sh: sh + L], outc)
+    return (jnp.moveaxis(out, -1, axis), jnp.moveaxis(outc, -1, axis))
+
+
+def banded_squared_edt_argmin(occ, band):
+    """Banded squared EDT + flat index of the nearest occupied voxel.
+
+    Exact (distance AND argmin) wherever the result ≤ band²; positions
+    farther than ``band`` from every occupied voxel return dist > band²
+    and a meaningless index — callers must treat them as unresolved. The
+    flat index is carried as f32 (volumes ≤ 2^24 voxels are exact).
+
+    :param occ: [..., X, Y, Z] occupancy.
+    :return: (dist [..., X, Y, Z] f32, nn_flat [..., X, Y, Z] int32).
+    """
+    occ_b = jnp.asarray(occ, bool)
+    X, Y, Z = occ_b.shape[-3:]
+    assert X * Y * Z < (1 << 24), "flat index must be f32-exact"
+    g = jnp.where(occ_b, 0.0, INF).astype(jnp.float32)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.float32, occ_b.shape[-3:], 0) * (Y * Z)
+        + jax.lax.broadcasted_iota(jnp.float32, occ_b.shape[-3:], 1) * Z
+        + jax.lax.broadcasted_iota(jnp.float32, occ_b.shape[-3:], 2)
+    )
+    carry = jnp.broadcast_to(flat, occ_b.shape)
+    for ax in (-3, -2, -1):
+        g, carry = _banded_minplus_1d_arg(g, carry, band, ax)
+    return g, carry.astype(jnp.int32)
 
 
 def _minplus_1d_arg(g, carry, axis):
