@@ -678,18 +678,13 @@ class BlockCodec:
         x_hat_points = [flat[m * n:(m + 1) * n] for m in range(n_metrics)]
         t_unpack = time.time() - t0
         t0 = time.time()
-        if with_normals:
-            # d2 selection metrics need normal transfer — host path
-            metadata = select_best_per_opt_metric(
-                binstr, x_hat_points, level, opt_names, points, resolution,
-                with_normals=with_normals,
-            )
-        else:
-            metadata = self._select_best_device(
-                binstr, x_hat_points, dev_keep["packed_occ"],
-                packed_dev_by_metric, opt_names, points, resolution, level,
-                need_metrics=need_metrics,
-            )
+        metadata = self._select_best_device(
+            binstr, x_hat_points, dev_keep["packed_occ"],
+            packed_dev_by_metric, opt_names, points, resolution, level,
+            need_metrics=need_metrics,
+            pts_dev=dev_keep["pts16"],
+            nrm_host=arrays[1] if with_normals else None,
+        )
         t_select = time.time() - t0
         logger.info(
             "compress_blocks_device_opt(%d blocks): device %.2fs "
@@ -742,19 +737,38 @@ class BlockCodec:
                     len(sums["outliers_b"]), sums["n_a"], sums["n_b"])
         return metrics
 
+    def _d2_full_cloud_metrics(self, pts_dev, nrm_host, mask_packed,
+                               x_hat_blocks, origins, points, resolution):
+        """Exact full-cloud D2 (+D1) metrics of one candidate.
+
+        NN identities via banded argmin halo EDTs on device; vote-based
+        normal transfer and f64 projections on host — reference
+        semantics, ``model_types.py:150`` + ``pc_metric.py:76-138``.
+        """
+        from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
+            blockwise_d2_metrics,
+        )
+
+        return blockwise_d2_metrics(
+            pts_dev, nrm_host, mask_packed, x_hat_blocks, origins,
+            self.block_size, resolution, points, with_d1=True,
+        )
+
     def _select_best_device(self, binstr, x_hat_points, occ_packed,
                             masks_packed, opt_names, points, resolution,
                             level, opt_groups=("d1", "d2"),
-                            need_metrics=True):
-        """Best-variant selection with full-cloud D1 metrics on device.
+                            need_metrics=True, pts_dev=None,
+                            nrm_host=None):
+        """Best-variant selection with full-cloud metrics on device.
 
-        Same semantics as :func:`select_best_per_opt_metric` for d1 groups
-        (exact sums via halo EDTs, ops/cloud_metrics); host KD-trees only
-        touch the rare > halo outliers. A group with a SINGLE candidate
-        skips the comparative metric entirely (argmax over one is a
-        no-op, ``model_types.py:128-176`` semantics unchanged); its
-        metrics are computed only when ``need_metrics`` asks for the
-        enc-side metric sidecar.
+        Same semantics as :func:`select_best_per_opt_metric` (exact d1
+        sums via halo EDTs; d2 via argmin-EDT NN identities + host normal
+        transfer, ops/cloud_metrics); host KD-trees only touch the rare
+        > halo outliers. A group with a SINGLE candidate skips the
+        comparative metric entirely (argmax over one is a no-op,
+        ``model_types.py:128-176`` semantics unchanged); its metrics are
+        computed only when ``need_metrics`` asks for the enc-side metric
+        sidecar.
         """
         from pcc_geo_cnn_v2_tpu.utils.octree import block_origins
 
@@ -769,33 +783,38 @@ class BlockCodec:
                        if nm.startswith(group)]
             if not entries:
                 continue
-            assert group == "d1", (
-                "device selection covers d1 groups; d2 requires normals"
-            )
-            if len(entries) == 1:
-                nm, best_idx = entries[0]
-                best_metrics = (
-                    self._d1_full_cloud_metrics(
-                        occ_packed, masks_packed[best_idx], origins,
-                        x_hat_points[best_idx], points, resolution,
-                    ) if need_metrics else None
+            if group == "d2":
+                assert nrm_host is not None and pts_dev is not None, (
+                    "d2 selection needs input normals (--input_normals)"
                 )
-                logger.info("group %s: single candidate %s [selection "
-                            "skipped]", group, nm)
+
+                def metric_fn(i):
+                    return self._d2_full_cloud_metrics(
+                        pts_dev, nrm_host, masks_packed[i],
+                        x_hat_points[i], origins, points, resolution,
+                    )
             else:
-                metrics_full = [
-                    self._d1_full_cloud_metrics(
+                assert group == "d1", f"unknown metric group {group}"
+
+                def metric_fn(i):
+                    return self._d1_full_cloud_metrics(
                         occ_packed, masks_packed[i], origins,
                         x_hat_points[i], points, resolution,
                     )
-                    for _, i in entries
-                ]
-                scores = [m["d1_psnr"] for m in metrics_full]
+            score_key = f"{group}_psnr"
+            if len(entries) == 1:
+                nm, best_idx = entries[0]
+                best_metrics = metric_fn(best_idx) if need_metrics else None
+                logger.info("group %s: single candidate %s [selection "
+                            "skipped]", group, nm)
+            else:
+                metrics_full = [metric_fn(i) for _, i in entries]
+                scores = [m[score_key] for m in metrics_full]
                 local_best = int(np.argmax(scores))
                 nm, best_idx = entries[local_best]
                 best_metrics = metrics_full[local_best]
-                logger.info("group %s: best %s (d1_psnr=%.2f) "
-                            "[device metric]", group, nm,
+                logger.info("group %s: best %s (%s=%.2f) "
+                            "[device metric]", group, nm, score_key,
                             scores[local_best])
             blocks_depart = departition_octree(
                 x_hat_points[best_idx], binstr, bbox_min, bbox_max, level

@@ -199,12 +199,16 @@ def test_device_opt_with_normals_d2():
     )
     assert len(data_list) == 2  # d1 and d2 groups
     assert "d2_psnr" in metadata[1]["metrics"]
-    host_data, _ = codec.compress_blocks(
+    host_data, host_meta = codec.compress_blocks(
         blocks, binstr, pts_n, RESOLUTION, LEVEL,
         opt_metrics=("d1_mse", "d2_mse"), with_normals=True,
     )
     # d1 group picks identical to the exact host path
     assert [t for _, t in data_list[0]] == [t for _, t in host_data[0]]
+    # device d2 full-cloud metric agrees with the host KD-tree oracle
+    # (tie-broken NN identities may differ slightly — documented)
+    assert abs(metadata[1]["metrics"]["d2_psnr"]
+               - host_meta[1]["metrics"]["d2_psnr"]) < 0.3
     for payload, meta in zip(data_list, metadata):
         dec = codec.decompress_blocks(payload)
         for d, e in zip(dec, meta["x_hat_list"]):
