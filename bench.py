@@ -29,9 +29,25 @@ from pathlib import Path
 import numpy as np
 
 logging.basicConfig(level=logging.INFO, stream=sys.stderr)
-# persistent XLA compile cache: repeated bench runs skip the 1-3 min
-# remote compiles of the c3p graphs
+# NOTE: JAX_COMPILATION_CACHE_DIR does NOT help under the axon remote-TPU
+# plugin (compiles happen remotely, AOT; nothing lands in the local cache
+# dir) — every fresh process pays the full compiles. Kept for CPU runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# --devices N: multi-device codec mode on an N-device virtual CPU mesh.
+# Validates BlockCodec's round-robin block parallelism (the dp story for
+# a real multi-chip slice) end-to-end; on a single-core host the virtual
+# devices share one core, so this measures correctness + distribution,
+# not wall-clock scaling. Must configure env BEFORE the first jax import.
+N_DEVICES = 0
+if "--devices" in sys.argv:
+    N_DEVICES = int(sys.argv[sys.argv.index("--devices") + 1])
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={N_DEVICES}"
+    ).strip()
 
 BASELINE_BLOCKS_PER_SEC = 5.0  # estimated TF1 reference throughput (see above)
 
@@ -49,6 +65,8 @@ def main():
     from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    if N_DEVICES:
+        jax.config.update("jax_platforms", "cpu")  # axon ignores env var
     log("devices:", jax.devices())
 
     # warm the device<->host tunnel before timing anything
@@ -61,14 +79,25 @@ def main():
     from pcc_geo_cnn_v2_tpu.utils.data import _surface_patch
 
     rng = np.random.default_rng(123)
-    parts = []
-    for kind in ["shell", "shell", "plane", "cylinder", "shell", "plane"]:
-        parts.append(_surface_patch(rng, 1024, kind, n=400_000))
-    pts = np.round(np.vstack(parts))
-    pts = pts[np.all((pts >= 0) & (pts < 1024), axis=1)]
-    pts = np.unique(pts, axis=0)
-    blocks, binstr = partition_octree(pts, [0, 0, 0], [1024] * 3, 4)
-    log(f"{len(pts)} points -> {len(blocks)} blocks of 64^3")
+    if N_DEVICES:
+        # CPU-mesh mode: smaller cloud, 32³ blocks (correctness of the
+        # multi-device round-robin, not absolute throughput)
+        v = rng.normal(size=(60_000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = np.unique(np.clip(np.round(v * 180 + 256), 0, 511), axis=0)
+        resolution, level, block_size = 512, 4, 32
+    else:
+        parts = []
+        for kind in ["shell", "shell", "plane", "cylinder", "shell",
+                     "plane"]:
+            parts.append(_surface_patch(rng, 1024, kind, n=400_000))
+        pts = np.round(np.vstack(parts))
+        pts = pts[np.all((pts >= 0) & (pts < 1024), axis=1)]
+        pts = np.unique(pts, axis=0)
+        resolution, level, block_size = 1024, 4, 64
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [resolution] * 3,
+                                      level)
+    log(f"{len(pts)} points -> {len(blocks)} blocks of {block_size}^3")
 
     # Model: use the committed benchmark checkpoint when present (realistic
     # RD operating point, no retraining); otherwise quick-train on
@@ -79,6 +108,27 @@ def main():
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[
         os.environ.get("BENCH_DTYPE", "bfloat16")
     ]
+    if N_DEVICES:
+        # single-core host: small fresh-init model — this mode checks the
+        # multi-device round-robin + bit-exact roundtrip, not RD quality
+        model = build_model(dict(model="v2", num_filters=16,
+                                 analysis="AnalysisTransformProgressiveV2",
+                                 synthesis="SynthesisTransformProgressiveV2"))
+        params = jax.tree_util.tree_map(
+            np.asarray,
+            model.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 16, 16, 16, 1), np.float32),
+                       training=False),
+        )
+        syn = params["params"]["synthesis_t"]
+        last = sorted(k for k in syn if k.startswith("ConvTranspose"))[-1]
+        syn[last]["bias"] = syn[last]["bias"] + 0.55
+        codec = BlockCodec(model, params, block_size=block_size,
+                           n_thresholds=64, batch_blocks=16,
+                           sweep_backend="xla",
+                           devices=jax.devices()[:N_DEVICES])
+        return run_pipeline(codec, blocks, binstr, pts, resolution, level,
+                            block_size, log)
     model = build_model("c3p", dtype=dtype)
     ckpt = (Path(__file__).parent
             / "pcc_geo_cnn_v2_tpu/assets/bench_c3p.msgpack.gz")
@@ -120,9 +170,19 @@ def main():
         params = jax.device_get(state.params)
 
     codec = BlockCodec(
-        model, params, block_size=64,
+        model, params, block_size=block_size,
         batch_blocks=int(os.environ.get("BENCH_BATCH_BLOCKS", 64)),
         sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "auto"),
+    )
+    run_pipeline(codec, blocks, binstr, pts, resolution, level, block_size,
+                 log)
+
+
+def run_pipeline(codec, blocks, binstr, pts, resolution, level, block_size,
+                 log):
+    from pcc_geo_cnn_v2_tpu.coding.syntax import (
+        load_compressed_file,
+        save_compressed_file,
     )
 
     # compile + warm every executable (same shapes as the timed run)
@@ -131,10 +191,11 @@ def main():
 
     t0 = time.time()
     data_list, metadata = codec.compress_blocks_device_opt(
-        blocks, binstr, pts, 1024, 4, opt_metrics=("d1_mse",),
+        blocks, binstr, pts, resolution, level, opt_metrics=("d1_mse",),
     )
     t_enc = time.time() - t0
-    raw = gzip.compress(save_compressed_file(binstr, data_list[0], 1024, 4))
+    raw = gzip.compress(save_compressed_file(binstr, data_list[0],
+                                             resolution, level))
     bpp = len(raw) * 8 / len(pts)
     log(f"encode {t_enc:.2f}s ({len(blocks)/t_enc:.2f} blocks/s), {bpp:.3f} bpp")
 
@@ -153,6 +214,13 @@ def main():
     assert ok, "decoder output != encoder-embedded reconstruction"
 
     value = len(blocks) / (t_enc + t_dec)
+    if N_DEVICES:
+        print(json.dumps({
+            "metric": f"blocks{block_size}_enc_dec_per_sec_cpu_mesh",
+            "value": round(value, 3), "unit": "blocks/s",
+            "devices": N_DEVICES, "vs_baseline": 0.0,
+        }))
+        return
     print(json.dumps({
         "metric": "blocks64_enc_dec_per_sec_per_chip",
         "value": round(value, 3),

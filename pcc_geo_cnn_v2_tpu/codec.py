@@ -414,7 +414,8 @@ class BlockCodec:
         if with_normals:
             sm_args.append(dev_keep["nrm"])
         jax.block_until_ready(sweep_mask(*sm_args)["picks"])
-        payload = [(self.entropy_encode(out, i), 128) for i in range(2)]
+        mid_thr = len(self.thresholds) // 2
+        payload = [(self.entropy_encode(out, i), mid_thr) for i in range(2)]
         self.decompress_blocks(payload)
         # compile the full-cloud metric chunk (ops/cloud_metrics)
         from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import blockwise_d1_sums

@@ -26,7 +26,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["conv3d_spatial_sharded"]
+__all__ = ["conv3d_spatial_sharded", "encode_syms_spatial"]
 
 
 def _halo_exchange(x, halo_lo, halo_hi, axis_name):
@@ -104,3 +104,62 @@ def conv3d_spatial_sharded(mesh: Mesh, x, kernel, stride=1, axis="sp"):
         out_specs=spec_x,
     )
     return fn(x, kernel)
+
+
+def encode_syms_spatial(model, params, x, mesh, axis="sp"):
+    """``encode_syms`` on an oversized block, depth-sharded over ``axis``.
+
+    The sp analogue of context parallelism for this model family
+    (SURVEY §5 "long-context"): a block too large for one device's memory
+    is sharded along D and every conv of the analysis (+hyper-analysis)
+    stack runs as a halo-exchanged sharded conv — activations never
+    materialize unsharded. Supports the V1 and (Progressive)V2 analysis
+    stacks with 'add' residuals (every named config; 'concat' stacks
+    would need the same replay with a concat skip).
+
+    :param x: [N, D, H, W, 1] occupancy; D divisible by mesh[axis]·16.
+    :return: dict like ``model.encode_syms`` ({y_sym[, z_sym]} int32),
+        matching the unsharded executable up to conv accumulation order.
+    """
+    import jax.numpy as jnp
+
+    p = params["params"]
+
+    def conv(h, lp, stride=1, act=True):
+        h = conv3d_spatial_sharded(mesh, h, jnp.asarray(lp["kernel"]),
+                                   stride=stride, axis=axis)
+        if "bias" in lp:
+            h = h + jnp.asarray(lp["bias"])
+        return jax.nn.relu(h) if act else h
+
+    an = p["analysis_t"]
+    aname = model.analysis
+    if aname == "AnalysisTransformV1":
+        y = conv(x, an["Conv_0"], 2)
+        y = conv(y, an["Conv_1"], 2)
+        y = conv(y, an["Conv_2"], 2, act=False)
+    elif aname in ("AnalysisTransformV2", "AnalysisTransformProgressiveV2"):
+        y = x
+        for b in range(3):
+            bp = an[f"AnalysisBlock_{b}"]
+            h = conv(y, bp["Conv_0"], 2)
+            t = conv(h, bp["Conv_1"])
+            t = conv(t, bp["Conv_2"])
+            y = h + t
+        y = conv(y, an["Conv_0"], act=False)
+    else:  # pragma: no cover - configs only use the stacks above
+        raise NotImplementedError(aname)
+    y = y.astype(jnp.float32)
+
+    quantiles = jnp.asarray(p["entropy_bottleneck"]["quantiles"])
+    medians = quantiles[:, 1]
+    if getattr(model, "hyper_analysis", None) is None:  # v1
+        return {"y_sym": jnp.round(y - medians).astype(jnp.int32)}
+    hp = p["hyper_analysis_t"]
+    z = conv(y, hp["Conv_0"])
+    z = conv(z, hp["Conv_1"], 2)
+    z = conv(z, hp["Conv_2"], act=False).astype(jnp.float32)
+    return {
+        "y_sym": jnp.round(y).astype(jnp.int32),
+        "z_sym": jnp.round(z - medians).astype(jnp.int32),
+    }
