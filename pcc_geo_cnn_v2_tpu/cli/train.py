@@ -57,6 +57,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--profiling", action="store_true",
                         help="Capture a jax.profiler trace of a few steps.")
+    parser.add_argument("--feed_loop", action="store_true",
+                        help="Per-step host feeding (legacy / streaming "
+                             "datasets) instead of the device-resident "
+                             "scan loop.")
     args = parser.parse_args(argv)
 
     assert args.model_config in config_names()
@@ -83,11 +87,15 @@ def main(argv=None):
 
     if args.profiling:
         jax.profiler.start_trace(str(args.checkpoint_dir) + "/profile")
-    best = trainer.fit(
-        train_ds.batches(cfg.batch_size, seed=args.seed),
-        lambda: val_ds.batches(cfg.batch_size, seed=args.seed + 1,
-                               repeat=False, shuffle=False),
-    )
+    if args.feed_loop:
+        best = trainer.fit(
+            train_ds.batches(cfg.batch_size, seed=args.seed),
+            lambda: val_ds.batches(cfg.batch_size, seed=args.seed + 1,
+                                   repeat=False, shuffle=False),
+        )
+    else:
+        # device-resident scan loop: one dispatch per gcd(log, val) steps
+        best = trainer.fit_blocks(train_ds, val_ds)
     if args.profiling:
         jax.profiler.stop_trace()
     logger.info("done, best val loss %s", best)

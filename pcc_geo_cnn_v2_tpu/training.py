@@ -146,6 +146,62 @@ def make_train_step(model, config: TrainConfig, mesh=None):
     )
 
 
+def make_scan_train_step(model, config: TrainConfig, n_data, k_inner):
+    """K training steps per dispatch over a device-resident dataset.
+
+    The returned jitted fn ``(state, data[N,P,3] int, base_rng) ->
+    (state, last_logs)`` samples batches ON DEVICE (``jax.random.randint``
+    folded from the step counter) and runs ``k_inner`` update steps under
+    ``lax.scan`` — one dispatch, zero per-step host→device transfers.
+    Over the remote-TPU tunnel this is the difference between paying
+    dispatch+upload latency every step and amortizing it k_inner×.
+    """
+    loss_fn = make_loss_fn(model, config)
+
+    def one(state, data, base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+        ki, kn = jax.random.split(rng)
+        idx = jax.random.randint(ki, (config.batch_size,), 0, n_data)
+        pts = jnp.take(data, idx, axis=0).astype(jnp.int32)
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, pts, kn
+        )
+        return state.apply_gradients(grads=grads), logs
+
+    def multi(state, data, base_rng):
+        def body(st, _):
+            st, logs = one(st, data, base_rng)
+            return st, logs
+
+        state, logs_seq = jax.lax.scan(body, state, None, length=k_inner)
+        return state, jax.tree_util.tree_map(lambda a: a[-1], logs_seq)
+
+    return jax.jit(multi, donate_argnums=0)
+
+
+def make_scan_val_step(model, config: TrainConfig, n_val):
+    """Mean val loss over ``val_batches`` device-resident batches in one
+    dispatch (sequential coverage of the val set, reference protocol
+    ``tr_train.py:95-121``)."""
+    loss_fn = make_loss_fn(model, config)
+
+    def val(params, data, rng):
+        def body(i, acc):
+            k = jax.random.fold_in(rng, i)
+            idx = (jnp.arange(config.batch_size)
+                   + i * config.batch_size) % n_val
+            pts = jnp.take(data, idx, axis=0).astype(jnp.int32)
+            loss, _ = loss_fn(params, pts, k)
+            return acc + loss
+
+        n_batches = min(max(n_val // config.batch_size, 1),
+                        config.val_batches)
+        total = jax.lax.fori_loop(0, n_batches, body, jnp.asarray(0.0))
+        return total / n_batches
+
+    return jax.jit(val)
+
+
 def make_eval_step(model, config: TrainConfig, mesh=None):
     loss_fn = make_loss_fn(model, config)
 
@@ -292,6 +348,69 @@ class Trainer:
                     self.save(step)
                 elif step - best_step >= cfg.early_stop_patience:
                     logger.info("early stop at %d (best %d)", step, best_step)
+                    break
+        if self.latest_checkpoint(self.dir) is None:
+            self.save(step)
+        done_marker.touch()
+        return best_val
+
+    def fit_blocks(self, train_ds, val_ds):
+        """tr_train protocol over DEVICE-RESIDENT block datasets.
+
+        Same validation/early-stop/best-checkpoint/done-marker semantics
+        as :meth:`fit`, but the whole dataset is packed once, uploaded as
+        one compact int8/int16 array, and training runs in jitted
+        ``lax.scan`` segments with on-device batch sampling — one
+        dispatch per ``gcd(log_every, val_every)`` steps and no per-step
+        host→device traffic. Single-device (use :meth:`fit` for a mesh).
+
+        :param train_ds / val_ds: ``utils.data.BlockDataset``.
+        """
+        import math
+
+        assert self.mesh is None, "fit_blocks is single-device; use fit()"
+        cfg = self.config
+        done_marker = self.dir / "done"
+        if done_marker.exists():
+            logger.info("done marker exists, skipping training")
+            return None
+
+        def packed(ds):
+            arr = ds._pack(np.arange(len(ds)))
+            dtype = np.int8 if cfg.block_size <= 128 else np.int16
+            return jnp.asarray(arr.astype(dtype))
+
+        data, val_data = packed(train_ds), packed(val_ds)
+        k = math.gcd(cfg.log_every, cfg.val_every)
+        multi = make_scan_train_step(self.model, cfg, len(train_ds), k)
+        val_fn = make_scan_val_step(self.model, cfg, len(val_ds))
+        self.rng, base_rng = jax.random.split(self.rng)
+        best_val = np.inf
+        best_step = self.start_step
+        step = self.start_step
+        t0 = time.time()
+        while step < cfg.max_steps:
+            self.state, logs = multi(self.state, data, base_rng)
+            step += k
+            if step % cfg.log_every == 0:
+                logs = jax.device_get(logs)
+                self._log(step, "train", logs,
+                          {"steps_per_sec":
+                           cfg.log_every / (time.time() - t0)})
+                t0 = time.time()
+            if step % cfg.val_every == 0:
+                self.rng, vrng = jax.random.split(self.rng)
+                val_loss = float(val_fn(self.state.params, val_data, vrng))
+                self._log(step, "val", {"loss": val_loss})
+                logger.info("step %d val loss %.4f (best %.4f)", step,
+                            val_loss, best_val)
+                if val_loss < best_val:
+                    best_val = val_loss
+                    best_step = step
+                    self.save(step)
+                elif step - best_step >= cfg.early_stop_patience:
+                    logger.info("early stop at %d (best %d)", step,
+                                best_step)
                     break
         if self.latest_checkpoint(self.dir) is None:
             self.save(step)
