@@ -42,6 +42,27 @@ def encode_decode(tmc3, in_pc, out_dir, mode, rate_param):
     dec_path = out_dir / "decoded.ply"
     enc_log = out_dir / "enc.log"
     dec_log = out_dir / "dec.log"
+    if tmc3 == "builtin":
+        # self-contained octree anchor (no tmc3 binary in this env);
+        # same file/log contract, G-PCC-octree-style coding
+        assert mode == "octree", "builtin anchor implements octree mode"
+        from pcc_geo_cnn_v2_tpu.coding.octree_anchor import (
+            anchor_decode,
+            anchor_encode,
+            write_tmc3_style_log,
+        )
+        from pcc_geo_cnn_v2_tpu.utils import pc_io
+
+        if not bin_path.exists() or not dec_path.exists():
+            pts = pc_io.read_ply(in_pc, columns=["x", "y", "z"])[0]
+            data = anchor_encode(pts, int(pts.max()) + 1,
+                                 scale=float(rate_param))
+            bin_path.write_bytes(data)
+            write_tmc3_style_log(enc_log, in_pc, len(pts), len(data))
+            dec, _ = anchor_decode(bin_path.read_bytes())
+            pc_io.write_ply(dec_path, dec)
+            dec_log.write_text(f"decoded {len(dec)} points\n")
+        return bin_path, dec_path, enc_log
     if not bin_path.exists():
         cmd = [
             tmc3, "--mode=0", f"--uncompressedDataPath={in_pc}",
@@ -67,8 +88,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="mp_run")
     parser.add_argument("input_pc")
     parser.add_argument("output_dir")
-    parser.add_argument("--tmc3", default=os.environ.get("TMC3"),
-                        required=os.environ.get("TMC3") is None)
+    parser.add_argument("--tmc3", default=os.environ.get("TMC3", "builtin"),
+                        help="Path to the tmc3 binary, or 'builtin' for "
+                             "the in-repo octree anchor codec "
+                             "(coding/octree_anchor.py).")
     parser.add_argument("--pc_error", default=os.environ.get("PC_ERROR"))
     parser.add_argument("--input_norm", default=None)
     parser.add_argument("--mode", default="octree",
