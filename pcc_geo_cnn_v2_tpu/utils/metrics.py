@@ -88,6 +88,19 @@ def compute_metrics(p1, p2, r, p1_n=None, t1=None):
     """
     p1 = np.asarray(p1, np.float64)
     p2 = np.asarray(p2, np.float64)
+    if len(p1) == 0 or len(p2) == 0:
+        # degenerate cloud (e.g. an untrained/diverged model decoding to
+        # nothing): report unusable quality instead of crashing — the
+        # reference scores empty candidates -inf (model_types.py:128-176)
+        keys = ["d1"] + (["d2"] if p1_n is not None else [])
+        out = {}
+        for k in keys:
+            for s in ("sum_AB", "sum_BA", "sum_max", "sum_mean",
+                      "mse_AB", "mse_BA", "mse"):
+                out[f"{k}_{s}"] = np.inf
+            for s in ("psnr_AB", "psnr_BA", "psnr"):
+                out[f"{k}_{s}"] = -np.inf
+        return out
     if t1 is None:
         t1 = cKDTree(p1, balanced_tree=False)
     t2 = cKDTree(p2, balanced_tree=False)

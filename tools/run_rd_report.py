@@ -37,6 +37,8 @@ def main():
     ap.add_argument("model_root", nargs="?", default="models/rd/c3p-a0.75")
     ap.add_argument("--seed", type=int, default=200)
     ap.add_argument("--out", default="results/rd_pipeline")
+    ap.add_argument("--resolution", type=int, default=RESOLUTION)
+    ap.add_argument("--octree_level", type=int, default=LEVEL)
     args = ap.parse_args()
 
     from pcc_geo_cnn_v2_tpu.cli.ev_compare import main as ev_compare_main
@@ -48,10 +50,14 @@ def main():
     out = Path(args.out)
     pc_name = f"figure_{args.seed}"
     pc_path = out / "pcs" / f"{pc_name}.ply"
+    norm_path = out / "pcs" / f"{pc_name}_n.ply"
     pc_path.parent.mkdir(parents=True, exist_ok=True)
     if not pc_path.exists():
-        pts = figure_cloud(args.seed, RESOLUTION, with_normals=False)
+        pts, nrm = figure_cloud(args.seed, args.resolution,
+                                with_normals=True)
         pc_io.write_ply(pc_path, pts)
+        pc_io.write_ply(norm_path, np.hstack([pts, nrm]),
+                        names=("x", "y", "z", "nx", "ny", "nz"))
     print(f"{pc_name}: "
           f"{len(pc_io.read_ply(pc_path, columns=['x','y','z'])[0])} pts",
           flush=True)
@@ -67,8 +73,10 @@ def main():
             "--model_dir", str(run_dir),
             "--model_config", "c3p",
             "--input_pc", str(pc_path),
-            "--resolution", str(RESOLUTION),
-            "--octree_level", str(LEVEL),
+            "--input_norm", str(norm_path),
+            "--opt_metrics", "d1_mse", "d2_mse",
+            "--resolution", str(args.resolution),
+            "--octree_level", str(args.octree_level),
         ])
         print(f"λ={run_dir.name}: report "
               f"{(exp_dir / 'report_d1.json').exists()}", flush=True)
@@ -77,18 +85,24 @@ def main():
     # ev_compare layout (report.json → report_d1.json)
     anchors_tmp = out / "anchors" / pc_name
     mp_run_main([str(pc_path), str(anchors_tmp), "--tmc3", "builtin",
-                 "--resolution", str(RESOLUTION)])
+                 "--input_norm", str(norm_path),
+                 "--resolution", str(args.resolution)])
     for rdir in sorted((anchors_tmp / "octree").glob("r*")):
         rep = rdir / "report.json"
         if rep.exists():
-            dst = exp_root / "octree-anchor" / rdir.name / "report_d1.json"
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copy(rep, dst)
+            for group in ("d1", "d2"):
+                dst = (exp_root / "octree-anchor" / rdir.name
+                       / f"report_{group}.json")
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy(rep, dst)
 
-    ev_compare_main([str(out / "experiments"), pc_name,
-                     str(out / "compare"), "--metric", "d1_psnr"])
-    data = (out / "compare" / f"{pc_name}_d1_psnr_bdsnr.csv").read_text()
-    print("BD-PSNR matrix:\n" + data, flush=True)
+    for metric in ("d1_psnr", "d2_psnr"):
+        ev_compare_main([str(out / "experiments"), pc_name,
+                         str(out / "compare"), "--metric", metric])
+        path = out / "compare" / f"{pc_name}_{metric}_bdsnr.csv"
+        if path.exists():
+            print(f"BD-PSNR matrix ({metric}):\n" + path.read_text(),
+                  flush=True)
 
 
 if __name__ == "__main__":
