@@ -655,12 +655,14 @@ class BlockCodec:
         t_dec_sweep = time.time() - t0
         t_device += t_dec_sweep
 
+        # range coding overlaps the unpack + select phases below: the C++
+        # rANS coder releases the GIL, so its threads run while the main
+        # thread blocks on device fetches inside the metric passes
         t0 = time.time()
-        with ThreadPoolExecutor(self.threads) as pool:
-            strings_list = list(
-                pool.map(lambda i: self.entropy_encode(out, i), range(n))
-            )
-        t_entropy = time.time() - t0
+        entropy_pool = ThreadPoolExecutor(self.threads)
+        strings_futs = [entropy_pool.submit(self.entropy_encode, out, i)
+                        for i in range(n)]
+        t_entropy_submit = time.time() - t0
         threshold_list = [list(map(int, row)) for row in picks]
         bsz = self.block_size
         t0 = time.time()
@@ -687,10 +689,14 @@ class BlockCodec:
             nrm_host=arrays[1] if with_normals else None,
         )
         t_select = time.time() - t0
+        t0 = time.time()
+        strings_list = [f.result() for f in strings_futs]
+        entropy_pool.shutdown()
+        t_entropy = t_entropy_submit + (time.time() - t0)
         logger.info(
             "compress_blocks_device_opt(%d blocks): device %.2fs "
-            "(syms %.2fs, dec+sweep %.2fs), entropy %.2fs, unpack %.2fs, "
-            "select %.2fs",
+            "(syms %.2fs, dec+sweep %.2fs), entropy-wait %.2fs, "
+            "unpack %.2fs, select %.2fs",
             n, t_device, t_syms, t_dec_sweep, t_entropy, t_unpack, t_select,
         )
         by_metric = list(map(list, zip(*threshold_list)))
