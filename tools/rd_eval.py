@@ -63,7 +63,11 @@ def main():
     ap.add_argument("model_root", nargs="?", default="models/rd/c3p-a0.75")
     ap.add_argument("--out", default="results/rd_c3p_a075.json")
     ap.add_argument("--batch_blocks", type=int, default=64)
+    ap.add_argument("--resolution", type=int, default=RESOLUTION)
+    ap.add_argument("--level", type=int, default=LEVEL)
+    ap.add_argument("--seeds", nargs="*", type=int, default=EVAL_SEEDS)
     args = ap.parse_args()
+    resolution, level = args.resolution, args.level
 
     from pcc_geo_cnn_v2_tpu.cli.common import load_params
     from pcc_geo_cnn_v2_tpu.codec import BlockCodec
@@ -74,10 +78,10 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     clouds = {}
-    for seed in EVAL_SEEDS:
-        pts = figure_cloud(seed, RESOLUTION, with_normals=False)
+    for seed in args.seeds:
+        pts = figure_cloud(seed, resolution, with_normals=False)
         blocks, binstr = partition_octree(
-            pts, [0, 0, 0], [RESOLUTION] * 3, LEVEL)
+            pts, [0, 0, 0], [resolution] * 3, level)
         clouds[f"figure_{seed}"] = (pts, blocks, binstr)
         print(f"figure_{seed}: {len(pts)} pts, {len(blocks)} blocks",
               flush=True)
@@ -90,15 +94,16 @@ def main():
     for run_dir in run_dirs:
         lmbda = float(run_dir.name)
         params = load_params(model, run_dir)
-        codec = BlockCodec(model, params, block_size=64,
+        codec = BlockCodec(model, params,
+                           block_size=resolution // 2 ** level,
                            batch_blocks=args.batch_blocks)
         for name, (pts, blocks, binstr) in clouds.items():
             t0 = time.time()
             data_list, meta = codec.compress_blocks_device_opt(
-                blocks, binstr, pts, RESOLUTION, LEVEL)
+                blocks, binstr, pts, resolution, level)
             raw = gzip.compress(
-                save_compressed_file(binstr, data_list[0], RESOLUTION,
-                                     LEVEL))
+                save_compressed_file(binstr, data_list[0], resolution,
+                                     level))
             bpp = len(raw) * 8 / len(pts)
             psnr = meta[0]["metrics"]["d1_psnr"]
             results.append({"lmbda": lmbda, "pc_name": name, "bpp": bpp,
@@ -118,9 +123,9 @@ def main():
     anchor_results = []
     for name, (pts, _, _) in clouds.items():
         for scale in (0.75, 0.5, 0.25, 0.125, 0.0625):
-            data = anchor_encode(pts, RESOLUTION, scale=scale)
+            data = anchor_encode(pts, resolution, scale=scale)
             dec, _ = anchor_decode(data)
-            m = compute_metrics(pts[:, :3], dec, RESOLUTION - 1)
+            m = compute_metrics(pts[:, :3], dec, resolution - 1)
             anchor_results.append({
                 "scale": scale, "pc_name": name,
                 "bpp": len(data) * 8 / len(pts),
