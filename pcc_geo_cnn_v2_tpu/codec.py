@@ -137,16 +137,21 @@ class BlockCodec:
 
     def __init__(self, model, params, block_size=64, n_thresholds=2 ** 8,
                  batch_blocks=32, threads=8, sweep_backend="auto",
-                 devices=None):
+                 devices=None, coord_budget=512):
         """:param devices: optional device list; block chunks round-robin
         across them with replicated params (octree blocks are embarrassingly
-        parallel — no collectives needed, linear scaling over a slice)."""
+        parallel — no collectives needed, linear scaling over a slice).
+        :param coord_budget: per-block slots in the compact coordinate
+        transfer (reconstructions come back as ≤budget flat positions,
+        2 KB/block, instead of bit-mask grids, 32 KB/block at 64³; denser
+        blocks fall back to their mask rows)."""
         self.model = model
         self.params = params
         self.block_size = int(block_size)
         self.thresholds = np.linspace(0, 1.0, n_thresholds)
         self.batch_blocks = int(batch_blocks)
         self.threads = threads
+        self.coord_budget = int(coord_budget)
         if sweep_backend == "auto":
             sweep_backend = ("pallas" if jax.default_backend() == "tpu"
                              else "xla")
@@ -184,12 +189,36 @@ class BlockCodec:
         # in different executables (f32 compare is exact — no fusion can
         # change it). The reference approximated this property with a
         # 100-retry debug loop (``decompress_octree.py:64-131``).
-        def _mask_pack(x_hat, thr):
-            mask = x_hat[..., 0] > thr[:, None, None, None]
-            return jnp.packbits(mask.reshape(mask.shape[0], -1), axis=-1,
-                                bitorder="big")
+        budget = self.coord_budget
 
-        self._mask_pack = jax.jit(_mask_pack)
+        def _mask_pack_coords(x_hat, thr):
+            """(packed mask, compact flat positions, count) per block.
+
+            Positions are the ascending flat indices of occupied voxels
+            (== np.argwhere order), -1-padded to ``coord_budget``; blocks
+            with more occupancy than the budget signal via count and are
+            read from the (device-resident) packed mask instead.
+            """
+            mask = x_hat[..., 0] > thr[:, None, None, None]
+            flat = mask.reshape(mask.shape[0], -1)
+            packed = jnp.packbits(flat, axis=-1, bitorder="big")
+            count = jnp.sum(flat, axis=-1).astype(jnp.int32)
+            slot = jnp.cumsum(flat, axis=-1) - 1
+            slot = jnp.where(flat, slot, budget)  # pad rows drop
+            positions = jnp.broadcast_to(
+                jnp.arange(flat.shape[-1], dtype=jnp.int32)[None],
+                flat.shape,
+            )
+            b_idx = jnp.broadcast_to(
+                jnp.arange(flat.shape[0], dtype=jnp.int32)[:, None],
+                flat.shape,
+            )
+            pos = jnp.full((flat.shape[0], budget), -1, jnp.int32)
+            pos = pos.at[b_idx, slot].set(positions, mode="drop")
+            return {"packed": packed, "pos": pos, "count": count}
+
+        self._mask_coords_raw = _mask_pack_coords  # for use inside jits
+        self._mask_pack_coords = jax.jit(_mask_pack_coords)
         if self.is_v2:
             self._decode_z = jax.jit(
                 lambda params, s: self.model.apply(
@@ -355,6 +384,35 @@ class BlockCodec:
                 logger.info("re-fetched %d wide %s blocks as %s", len(wide),
                             key, np.dtype(dtype).name)
         return sym_dev
+
+    def _points_from_pos(self, pos, count, masks_dev):
+        """Per-block [n_i, 3] float32 point lists from the compact
+        position transfer (== ``np.argwhere`` of the mask, by
+        construction); blocks denser than ``coord_budget`` gather and
+        unpack their device-retained mask rows instead."""
+        bsz = self.block_size
+        count = np.asarray(count)
+        over = np.nonzero(count > self.coord_budget)[0]
+        over_bits = {}
+        if len(over):
+            rows = jax.device_get(
+                jnp.take(masks_dev, jnp.asarray(over), axis=0))
+            for i, row in zip(over, rows):
+                over_bits[int(i)] = np.unpackbits(row, bitorder="big")
+            logger.info("%d/%d blocks over coord budget %d (mask rows "
+                        "fetched)", len(over), len(count),
+                        self.coord_budget)
+        out = []
+        for i in range(len(count)):
+            if count[i] > self.coord_budget:
+                coords = np.argwhere(
+                    over_bits[i].reshape(bsz, bsz, bsz))
+            else:
+                p = pos[i, : count[i]].astype(np.int64)
+                coords = np.stack(
+                    [p // (bsz * bsz), (p // bsz) % bsz, p % bsz], 1)
+            out.append(coords.astype(np.float32))
+        return out
 
     # -- encode ------------------------------------------------------------
 
@@ -549,11 +607,10 @@ class BlockCodec:
             out = {"picks": picks}
             thr = jnp.take(thresholds, picks, axis=0)  # [N, M]
             for m in range(n_metrics):
-                mask = xh > thr[:, m][:, None, None, None]
-                out[f"masks{m}"] = jnp.packbits(
-                    mask.reshape(mask.shape[0], -1), axis=-1,
-                    bitorder="big"
-                )
+                mpc = self._mask_coords_raw(x_hat, thr[:, m])
+                out[f"masks{m}"] = mpc["packed"]
+                out[f"pos{m}"] = mpc["pos"]
+                out[f"count{m}"] = mpc["count"]
             return out
 
         jitted = jax.jit(fn)
@@ -646,10 +703,9 @@ class BlockCodec:
             arrays2.append(dev_keep["nrm"])
         mask_keys = tuple(f"masks{m}" for m in range(n_metrics))
         out2, mask_dev = self._run_chunked(
-            dec_sweep, arrays2, n, device_copies=mask_keys,
+            dec_sweep, arrays2, n, keep_device=mask_keys,
         )
         picks = np.asarray(out2["picks"])
-        packed_by_metric = [out2[f"masks{m}"] for m in range(n_metrics)]
         packed_dev_by_metric = [mask_dev[f"masks{m}"]
                                 for m in range(n_metrics)]
         t_dec_sweep = time.time() - t0
@@ -664,21 +720,12 @@ class BlockCodec:
                         for i in range(n)]
         t_entropy_submit = time.time() - t0
         threshold_list = [list(map(int, row)) for row in picks]
-        bsz = self.block_size
         t0 = time.time()
-
-        def _unpack(args):
-            i, m = args
-            return np.argwhere(
-                np.unpackbits(packed_by_metric[m][i], bitorder="big")
-                .reshape(bsz, bsz, bsz)
-            ).astype(np.float32)
-
-        with ThreadPoolExecutor(self.threads) as pool:
-            flat = list(pool.map(_unpack,
-                                 [(i, m) for m in range(n_metrics)
-                                  for i in range(n)]))
-        x_hat_points = [flat[m * n:(m + 1) * n] for m in range(n_metrics)]
+        x_hat_points = [
+            self._points_from_pos(out2[f"pos{m}"], out2[f"count{m}"],
+                                  packed_dev_by_metric[m])
+            for m in range(n_metrics)
+        ]
         t_unpack = time.time() - t0
         t0 = time.time()
         metadata = self._select_best_device(
@@ -878,28 +925,24 @@ class BlockCodec:
         # embedded reconstructions must be bit-identical to
         # decompress_blocks output (one-ulp fusion drift near a picked
         # threshold would flip voxels otherwise)
-        bsz = self.block_size
         y_narrow = narrow_symbols(out["y_sym"])
 
         def dec_mask(params, y_chunk, thr_chunk):
-            return self._mask_pack(self._dec_fn(params, y_chunk),
-                                   thr_chunk)
+            return self._mask_pack_coords(self._dec_fn(params, y_chunk),
+                                          thr_chunk)
 
         x_hat_points = []
         for col in map(list, zip(*threshold_list)):
-            packed = self._run_chunked(
+            outm, mdev = self._run_chunked(
                 dec_mask,
                 [y_narrow,
                  self.thresholds[np.asarray(col)].astype(np.float32)],
-                n,
+                n, keep_device=("packed",),
             )
-            x_hat_points.append([
-                np.argwhere(
-                    np.unpackbits(packed[i], bitorder="big")
-                    .reshape(bsz, bsz, bsz)
-                ).astype(np.float32)
-                for i in range(n)
-            ])
+            x_hat_points.append(
+                self._points_from_pos(outm["pos"], outm["count"],
+                                      mdev["packed"])
+            )
         metadata = select_best_per_opt_metric(
             binstr, x_hat_points, level, opt_names, points, resolution,
             with_normals,
@@ -923,7 +966,6 @@ class BlockCodec:
         deterministic XLA executables make one comparison sufficient).
         """
         n = len(payload)
-        bsz = self.block_size
         thr = np.array(
             [self.thresholds[t] for _, t in payload], np.float32
         )
@@ -933,8 +975,8 @@ class BlockCodec:
         def dec_mask(params, y_chunk, thr_chunk):
             # same decode executable as the encoder's canonical pass;
             # the mask compares materialized f32 values (bit-exact)
-            return self._mask_pack(self._dec_fn(params, y_chunk),
-                                   thr_chunk)
+            return self._mask_pack_coords(self._dec_fn(params, y_chunk),
+                                          thr_chunk)
 
         if self.is_v2:
             z_idx = self._channel_indexes(self.z_shape)
@@ -972,16 +1014,13 @@ class BlockCodec:
                         )
                     )
                 ))
-        packed = self._run_chunked(dec_mask, [y_syms, thr], n)
-
-        dec_blocks = []
-        for i in range(n):
-            mask = np.unpackbits(packed[i], bitorder="big").reshape(
-                bsz, bsz, bsz
-            )
-            dec_blocks.append(np.argwhere(mask).astype(np.float32))
+        outm, mdev = self._run_chunked(dec_mask, [y_syms, thr], n,
+                                       keep_device=("packed",))
+        dec_blocks = self._points_from_pos(outm["pos"], outm["count"],
+                                           mdev["packed"])
         if return_debug:
-            debug = {"y_sym": y_syms, "packed_masks": packed}
+            debug = {"y_sym": y_syms,
+                     "packed_masks": jax.device_get(mdev["packed"])}
             if self.is_v2:
                 debug["z_sym"] = z_syms
                 debug["y_idx"] = dz
