@@ -83,12 +83,38 @@ def save_ckpt(run_dir, state, step):
     return path
 
 
+def restore_ckpt(run_dir, state):
+    """Latest checkpoint of a run → (state with params+opt_state, step)."""
+    import orbax.checkpoint as ocp
+
+    from pcc_geo_cnn_v2_tpu.training import Trainer
+
+    path = Trainer.latest_checkpoint(Path(run_dir).resolve())
+    assert path is not None, f"no checkpoint in {run_dir}"
+    tree = {"params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state), "step": 0}
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, tree)
+    restored = ocp.StandardCheckpointer().restore(path, abstract)
+    state = state.replace(
+        params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+        opt_state=jax.tree_util.tree_map(jnp.asarray,
+                                         restored["opt_state"]),
+    )
+    return state, int(restored["step"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir", nargs="?", default="models/rd")
     ap.add_argument("--base_steps", type=int, default=30_000)
     ap.add_argument("--ft_steps", type=int, default=10_000)
     ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--extend", type=int, default=0,
+                    help="Train each ALREADY-DONE λ this many further "
+                         "steps from its own checkpoint (params + "
+                         "optimizer state), instead of skipping it.")
+    ap.add_argument("--lambdas", nargs="*", type=float, default=None,
+                    help="Subset of the λ grid to process.")
     args = ap.parse_args()
 
     print("devices:", jax.devices(), flush=True)
@@ -102,26 +128,37 @@ def main():
 
     model = build_model("c3p")
     prev_state = None
-    for li, lmbda in enumerate(LAMBDAS):
+    lambdas = args.lambdas or LAMBDAS
+    for li, lmbda in enumerate(lambdas):
         cfg = TrainConfig(block_size=64, batch_size=args.batch_size,
                           lmbda=lmbda, alpha=ALPHA)
         run_dir = Path(args.out_dir) / "c3p-a0.75" / lmbda_tag(lmbda)
         run_dir.mkdir(parents=True, exist_ok=True)
+        resumed = 0
         if (run_dir / "done").exists():
-            print(f"λ={lmbda:g}: done marker exists, skipping", flush=True)
-            # reload as warm-start source for the next λ
-            from pcc_geo_cnn_v2_tpu.cli.common import load_params
+            if not args.extend:
+                print(f"λ={lmbda:g}: done marker exists, skipping",
+                      flush=True)
+                # reload as warm-start source for the next λ
+                from pcc_geo_cnn_v2_tpu.cli.common import load_params
 
-            params = load_params(model, run_dir)
-            prev_state = create_train_state(model, jax.random.PRNGKey(0),
-                                            cfg).replace(
-                params=jax.tree_util.tree_map(jnp.asarray, params))
-            continue
-        state = create_train_state(model, jax.random.PRNGKey(42), cfg)
-        if prev_state is not None:  # warm-seq: params from the previous λ
-            state = state.replace(params=jax.tree_util.tree_map(
-                jnp.asarray, jax.device_get(prev_state.params)))
-        steps = args.base_steps if li == 0 else args.ft_steps
+                params = load_params(model, run_dir)
+                prev_state = create_train_state(
+                    model, jax.random.PRNGKey(0), cfg
+                ).replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, params))
+                continue
+            state = create_train_state(model, jax.random.PRNGKey(42), cfg)
+            state, resumed = restore_ckpt(run_dir, state)
+            print(f"λ={lmbda:g}: extending from step {resumed}",
+                  flush=True)
+            steps = args.extend
+        else:
+            state = create_train_state(model, jax.random.PRNGKey(42), cfg)
+            if prev_state is not None:  # warm-seq from the previous λ
+                state = state.replace(params=jax.tree_util.tree_map(
+                    jnp.asarray, jax.device_get(prev_state.params)))
+            steps = args.base_steps if li == 0 else args.ft_steps
         multi = make_multi_step(model, cfg, len(train_np), K_INNER)
         val_fn = make_val_step(model, cfg, len(val_np))
         base_rng = jax.random.PRNGKey(1234 + li)
@@ -144,7 +181,7 @@ def main():
                 print(f"λ={lmbda:g} step {done_steps}/{steps}: "
                       f"loss {rec['loss']:.1f} mbpov {rec['mbpov']:.3f} "
                       f"val {vloss:.1f} ({rate:.1f} it/s)", flush=True)
-        save_ckpt(run_dir, state, done_steps)
+        save_ckpt(run_dir, state, resumed + done_steps)
         (run_dir / "done").touch()
         print(f"λ={lmbda:g}: saved to {run_dir}", flush=True)
         prev_state = state
