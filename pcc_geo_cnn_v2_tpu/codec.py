@@ -159,13 +159,7 @@ class BlockCodec:
         self.is_v2 = isinstance(model, CompressionModelV2)
         assert self.is_v2 or isinstance(model, CompressionModelV1)
         self.devices = list(devices) if devices else None
-        if self.devices:
-            self._params_per_dev = [
-                jax.device_put(params, d) for d in self.devices
-            ]
-
-        eb_params = params["params"]["entropy_bottleneck"]
-        self.eb_table = build_factorized_cdf(eb_params)
+        self.set_params(params)
         if self.is_v2:
             self.gc_table = build_gaussian_cdf(
                 model.conditional.scale_table, model.conditional.tail_mass
@@ -173,6 +167,9 @@ class BlockCodec:
 
         # One fused executable per pass: eager op dispatch is
         # pathologically slow over the remote-TPU tunnel.
+        # (set_params above established self.params/eb_table; weights are
+        # traced ARGUMENTS of every jitted pass, so swapping them later
+        # reuses all compiled executables — see set_params.)
         size = self.block_size
         self._encode = jax.jit(
             lambda params, pts: self.model.apply(
@@ -234,6 +231,25 @@ class BlockCodec:
                 lambda params, s: self.model.apply(
                     params, s, method=self.model.decode)
             )
+
+    def set_params(self, params):
+        """Swap model weights without touching the compile cache.
+
+        Weights are traced *arguments* of every jitted executable, so a
+        λ-sweep (tools/rd_eval.py) reuses one codec instance — and every
+        compiled pass — across checkpoints instead of paying the remote
+        compile set per λ. Rebuilds the derived factorized-prior CDF
+        table (checkpoint-dependent); the Gaussian scale table is
+        model-static.
+        """
+        self.params = params
+        if self.devices:
+            self._params_per_dev = [
+                jax.device_put(params, d) for d in self.devices
+            ]
+        self.eb_table = build_factorized_cdf(
+            params["params"]["entropy_bottleneck"]
+        )
 
     # -- shape helpers ----------------------------------------------------
 

@@ -267,3 +267,28 @@ def test_wide_symbol_escape_roundtrip():
     assert len(dec_blocks) == len(enc_side)
     for a, b in zip(enc_side, dec_blocks):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_set_params_matches_fresh_codec():
+    """Swapping weights on a live codec (λ-sweep reuse, tools/rd_eval.py)
+    must produce the same bitstream as a freshly constructed codec."""
+    pts = _random_cloud(7)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3,
+                                      LEVEL)
+    config = dict(model="v2", num_filters=8,
+                  analysis="AnalysisTransformProgressiveV2",
+                  synthesis="SynthesisTransformProgressiveV2")
+    codec = _init_codec(config, seed=0)
+    d_a, _ = codec.compress_blocks_device_opt(blocks, binstr, pts,
+                                              RESOLUTION, LEVEL)
+    fresh = _init_codec(config, seed=3)
+    codec.set_params(fresh.params)
+    d_b, meta_b = codec.compress_blocks_device_opt(blocks, binstr, pts,
+                                                   RESOLUTION, LEVEL)
+    d_f, _ = fresh.compress_blocks_device_opt(blocks, binstr, pts,
+                                              RESOLUTION, LEVEL)
+    assert d_b[0] == d_f[0], "swapped-params bitstream != fresh codec"
+    assert d_a[0] != d_b[0], "distinct params gave identical bitstreams"
+    dec = codec.decompress_blocks(d_b[0])
+    for a, b in zip(meta_b[0]["x_hat_list"], dec):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

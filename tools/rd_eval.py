@@ -91,12 +91,18 @@ def main():
     assert run_dirs, f"no λ checkpoints under {args.model_root}"
     model = build_model("c3p")
     results = []
+    codec = None
     for run_dir in run_dirs:
         lmbda = float(run_dir.name)
         params = load_params(model, run_dir)
-        codec = BlockCodec(model, params,
-                           block_size=resolution // 2 ** level,
-                           batch_blocks=args.batch_blocks)
+        if codec is None:
+            codec = BlockCodec(model, params,
+                               block_size=resolution // 2 ** level,
+                               batch_blocks=args.batch_blocks)
+        else:
+            # weights are traced args: swapping them keeps every
+            # compiled executable warm across the λ sweep
+            codec.set_params(params)
         for name, (pts, blocks, binstr) in clouds.items():
             t0 = time.time()
             data_list, meta = codec.compress_blocks_device_opt(
