@@ -27,10 +27,14 @@ def _prep(metric_set, rate_axis_log=True):
 
 def _avg_diff_pchip(x1, y1, x2, y2):
     """Mean (curve2 - curve1) over the overlapping x range via PCHIP."""
+    if len(x1) < 2 or len(x2) < 2:
+        raise ValueError("BD needs >=2 distinct points per curve")
     lo = max(x1.min(), x2.min())
     hi = min(x1.max(), x2.max())
     if hi <= lo:
-        return 0.0
+        raise ValueError(
+            f"BD curves have no overlapping range ([{lo:.3g}, {hi:.3g}])"
+        )
     f1 = PchipInterpolator(x1, y1)
     f2 = PchipInterpolator(x2, y2)
     int1 = f1.integrate(lo, hi)
@@ -39,10 +43,14 @@ def _avg_diff_pchip(x1, y1, x2, y2):
 
 
 def _avg_diff_poly(x1, y1, x2, y2, order=3):
+    if len(x1) < 2 or len(x2) < 2:
+        raise ValueError("BD needs >=2 distinct points per curve")
     lo = max(x1.min(), x2.min())
     hi = min(x1.max(), x2.max())
     if hi <= lo:
-        return 0.0
+        raise ValueError(
+            f"BD curves have no overlapping range ([{lo:.3g}, {hi:.3g}])"
+        )
     p1 = np.polyint(np.polyfit(x1, y1, order))
     p2 = np.polyint(np.polyfit(x2, y2, order))
     int1 = np.polyval(p1, hi) - np.polyval(p1, lo)

@@ -76,3 +76,20 @@ def test_reference_baseline_numbers_reproduce():
         pts = sorted(ours[pc])[1:]
         deltas.append(bdsnr(anchor[pc], pts, pchip=True))
     assert abs(np.mean(deltas) - 5.50) < 0.1, np.mean(deltas)
+
+
+def test_bd_degenerate_inputs_raise():
+    """Single-point or disjoint curves must raise, not report a fake 0.0
+    (a one-λ smoke run once printed BD=0.0 against the reference)."""
+    import pytest
+
+    from pcc_geo_cnn_v2_tpu.utils.bd import bdrate, bdsnr
+
+    two = [(0.2, 60.0), (0.6, 66.0)]
+    with pytest.raises(ValueError):
+        bdsnr(two, [(0.4, 63.0)])
+    with pytest.raises(ValueError):
+        bdrate([(0.4, 63.0)], two)
+    disjoint = [(5.0, 80.0), (9.0, 85.0)]
+    with pytest.raises(ValueError):
+        bdsnr(two, disjoint)
