@@ -178,6 +178,9 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
         sums are exact for all in-halo points; ``outliers_*`` are global
         coordinates whose NN exceeds the halo (resolve on host).
     """
+    import time
+
+    t_prep0 = time.time()
     n = len(origins)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -189,8 +192,7 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
     a_ext = jnp.concatenate([a_dev, zero_row])
     b_ext = jnp.concatenate([b_dev, zero_row])
     nb_j = jnp.asarray(np.where(nb < 0, n, nb))
-
-    import time
+    t_prep = time.time() - t_prep0
 
     t0 = time.time()
     outs = []
@@ -235,9 +237,9 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
             outliers[tag].append(
                 coords[:, 1:] + origins[flagged[sub][coords[:, 0]]]
             )
-    logger.info("blockwise_d1_sums(%d blocks, %s): dispatch %.2fs, "
-                "fetch %.2fs, outlier rows %.2fs", n, backend, t_dispatch,
-                t_fetch, time.time() - t0)
+    logger.info("blockwise_d1_sums(%d blocks, %s): prep %.2fs, "
+                "dispatch %.2fs, fetch %.2fs, outlier rows %.2fs", n,
+                backend, t_prep, t_dispatch, t_fetch, time.time() - t0)
     return {
         "ab_sum": float(res["ab_sum"].sum()),
         "ba_sum": float(res["ba_sum"].sum()),
