@@ -433,13 +433,16 @@ class BlockCodec:
     # -- encode ------------------------------------------------------------
 
     def warmup(self, blocks, opt_metrics=("d1_mse",), max_deltas=(np.inf,),
-               with_normals=False):
+               with_normals=False, point_budget=None):
         """Compile + run every executable of the codec path on one chunk.
 
         Uses the full block list only to reproduce the point-budget the
-        real run will pack with (budget changes the executable shape).
+        real run will pack with (budget changes the executable shape);
+        ``point_budget`` overrides it — pass the same value to
+        :meth:`compress_blocks_device_opt` when encoding several clouds
+        so all calls share one executable set.
         """
-        budget = max(
+        budget = point_budget or max(
             int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
         )
         sub, _ = pack_points(blocks[: self.batch_blocks], max_points=budget)
@@ -636,7 +639,7 @@ class BlockCodec:
     def compress_blocks_device_opt(self, blocks, binstr, points, resolution,
                                    level, opt_metrics=("d1_mse",),
                                    max_deltas=(np.inf,), with_normals=False,
-                                   need_metrics=True):
+                                   need_metrics=True, point_budget=None):
         """Encoder with the fused on-device threshold sweep.
 
         Same outputs as :meth:`compress_blocks`; ~256 host KD-tree metric
@@ -659,7 +662,7 @@ class BlockCodec:
         if not with_normals:
             assert all(m in D1_METRICS for m in opt_metrics), opt_metrics
         n = len(blocks)
-        budget = max(
+        budget = point_budget or max(
             int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
         )
         pts_packed, _ = pack_points(blocks, max_points=budget)

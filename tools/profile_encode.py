@@ -62,7 +62,10 @@ def main():
     codec = BlockCodec(model, params, block_size=64, batch_blocks=bs)
 
     blocks = synthetic_blocks(bs, block_size=64, seed=3, kind="mix")
-    pts, _ = pack_points(blocks, max_points=4096)
+    budget = max(
+        int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
+    )
+    pts, _ = pack_points(blocks, max_points=budget)
     pts_dev = jax.device_put(jnp.asarray(pts))
     pparams = jax.device_put(codec.params)
 
@@ -101,7 +104,29 @@ def main():
             print(f"D sweep+mask [{backend}] FAILED: {e}", flush=True)
 
     thr = jnp.full((bs,), 0.5, jnp.float32)
-    timed("E mask only", lambda: codec._mask_pack(x_hat, thr), bs)
+    timed("E mask+coords only",
+          lambda: codec._mask_pack_coords(x_hat, thr)["packed"], bs)
+
+    # sweep-path internals: where do the sweep's ms/block actually go?
+    from pcc_geo_cnn_v2_tpu.ops.edt import squared_edt
+    from pcc_geo_cnn_v2_tpu.ops import pallas_sweep as ps
+
+    xh5 = x_hat[..., 0] if x_hat.ndim == 5 else x_hat
+    occ5 = jax.jit(lambda p: voxelize(p, 64)[..., 0])(pts_dev)
+    occ5 = jax.block_until_ready(occ5)
+    thresholds = jnp.asarray(codec.thresholds, jnp.float32)
+    timed("F squared_edt(occ)",
+          lambda: squared_edt(occ5 > 0), bs)
+    timed("F top_k(257)",
+          lambda: jax.lax.top_k(xh5.reshape(bs, -1), 257)[0], bs)
+    for sk in (256, 512, 1024):
+        timed(f"F sweep sums [sparse_k={sk}]",
+              lambda sk=sk: ps.d1_sweep_sums_pallas(
+                  xh5, occ5, thresholds, pts=pts16, sparse_k=sk)[0], bs)
+    for ck in (4, 16, 32):
+        timed(f"F sweep sums [chunk={ck}]",
+              lambda ck=ck: ps.d1_sweep_sums_pallas(
+                  xh5, occ5, thresholds, chunk=ck, pts=pts16)[0], bs)
 
     # full-cloud metric chunk, both backends
     from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import _halo_d1_chunk
