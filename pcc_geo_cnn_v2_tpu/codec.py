@@ -146,7 +146,6 @@ class BlockCodec:
         2 KB/block, instead of bit-mask grids, 32 KB/block at 64³; denser
         blocks fall back to their mask rows)."""
         self.model = model
-        self.params = params
         self.block_size = int(block_size)
         self.thresholds = np.linspace(0, 1.0, n_thresholds)
         self.batch_blocks = int(batch_blocks)
@@ -241,14 +240,22 @@ class BlockCodec:
         compile set per λ. Rebuilds the derived factorized-prior CDF
         table (checkpoint-dependent); the Gaussian scale table is
         model-static.
+
+        ``self.params`` is committed to the device once here: host
+        (numpy) pytrees are re-uploaded on EVERY jitted dispatch, which
+        over the remote-TPU tunnel cost ~0.6 s of weight upload per
+        64-block chunk — more than the chunk's compute.
         """
-        self.params = params
+        self.params_host = jax.device_get(params)
         if self.devices:
             self._params_per_dev = [
                 jax.device_put(params, d) for d in self.devices
             ]
+            self.params = self._params_per_dev[0]
+        else:
+            self.params = jax.device_put(params)
         self.eb_table = build_factorized_cdf(
-            params["params"]["entropy_bottleneck"]
+            self.params_host["params"]["entropy_bottleneck"]
         )
 
     # -- shape helpers ----------------------------------------------------
