@@ -193,15 +193,22 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
         save_compressed_file,
     )
 
-    # one shared point budget -> every cloud reuses the same executables
+    # shared point + flat-stream budgets -> every cloud reuses the same
+    # executables
     budget = max(
         int(2 ** np.ceil(np.log2(max(
             len(b) for _, blocks, _ in clouds for b in blocks)))), 64
     )
+    flat_budget = 64
+    for _, blocks, _ in clouds:
+        offs = np.zeros(len(blocks) + 1, np.int64)
+        np.cumsum([len(b) for b in blocks], out=offs[1:])
+        flat_budget = max(flat_budget, codec._flat_budget(offs))
     n_blocks = sum(len(blocks) for _, blocks, _ in clouds)
 
     # compile + warm every executable (same shapes as the timed run)
-    codec.warmup(clouds[0][1], point_budget=budget)
+    codec.warmup(clouds[0][1], point_budget=budget,
+                 flat_budget=flat_budget)
     log("warmup done")
 
     t_enc = 0.0
@@ -211,6 +218,7 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
         data_list, metadata = codec.compress_blocks_device_opt(
             blocks, binstr, pts, resolution, level,
             opt_metrics=("d1_mse",), point_budget=budget,
+            flat_budget=flat_budget,
         )
         t_enc += time.time() - t0
         raws.append(gzip.compress(save_compressed_file(

@@ -31,7 +31,12 @@ from pcc_geo_cnn_v2_tpu.models.entropy import (
     build_factorized_cdf,
     build_gaussian_cdf,
 )
-from pcc_geo_cnn_v2_tpu.ops.voxel import pack_points, voxelize
+from pcc_geo_cnn_v2_tpu.ops.voxel import (
+    flatten_blocks,
+    pack_points,
+    unflatten_points,
+    voxelize,
+)
 from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
 from pcc_geo_cnn_v2_tpu.utils.octree import departition_octree
 from pcc_geo_cnn_v2_tpu.utils.threshold import compute_optimal_thresholds
@@ -320,7 +325,11 @@ class BlockCodec:
         All chunks are dispatched before any result is fetched — JAX's async
         dispatch pipelines device compute with host transfers. Inputs may be
         device arrays (chunk slicing then happens on device — chaining
-        passes without tunnel round-trips).
+        passes without tunnel round-trips). An entry of ``arrays`` may also
+        be a callable ``c(lo, hi, bs) -> tuple_of_arrays`` building that
+        chunk's (already padded) inputs — used for ragged streams whose
+        per-chunk shape is not a slice (see the flat point upload in
+        :meth:`compress_blocks_device_opt`).
 
         :param keep_device: dict-output keys to keep ONLY as one device
             array (never crossing the tunnel); returns
@@ -334,15 +343,19 @@ class BlockCodec:
         bs = self.batch_blocks
         for k, lo in enumerate(range(0, n, bs)):
             hi = min(lo + bs, n)
-            chunk = [a[lo:hi] for a in arrays]
-            if hi - lo < bs:
-                chunk = [
-                    (jnp if isinstance(c, jax.Array) else np).concatenate(
-                        [c, (jnp if isinstance(c, jax.Array) else np).zeros(
-                            (bs - (hi - lo),) + c.shape[1:], c.dtype)]
+            chunk = []
+            for a in arrays:
+                if callable(a):
+                    chunk.extend(a(lo, hi, bs))
+                    continue
+                c = a[lo:hi]
+                if hi - lo < bs:
+                    xp = jnp if isinstance(c, jax.Array) else np
+                    c = xp.concatenate(
+                        [c, xp.zeros((bs - (hi - lo),) + c.shape[1:],
+                                     c.dtype)]
                     )
-                    for c in chunk
-                ]
+                chunk.append(c)
             if self.devices:
                 dev = self.devices[k % len(self.devices)]
                 params = self._params_per_dev[k % len(self.devices)]
@@ -439,37 +452,46 @@ class BlockCodec:
 
     # -- encode ------------------------------------------------------------
 
+    def _flat_budget(self, offsets):
+        """Pow2 flat-stream budget covering every chunk's true total."""
+        bs = self.batch_blocks
+        n = len(offsets) - 1
+        totals = [int(offsets[min(lo + bs, n)] - offsets[lo])
+                  for lo in range(0, n, bs)]
+        return max(int(2 ** np.ceil(np.log2(max(totals)))), 64)
+
     def warmup(self, blocks, opt_metrics=("d1_mse",), max_deltas=(np.inf,),
-               with_normals=False, point_budget=None):
+               with_normals=False, point_budget=None, flat_budget=None):
         """Compile + run every executable of the codec path on one chunk.
 
         Uses the full block list only to reproduce the point-budget the
         real run will pack with (budget changes the executable shape);
-        ``point_budget`` overrides it — pass the same value to
-        :meth:`compress_blocks_device_opt` when encoding several clouds
-        so all calls share one executable set.
+        ``point_budget``/``flat_budget`` override — pass the same values
+        to :meth:`compress_blocks_device_opt` when encoding several
+        clouds so all calls share one executable set.
         """
         budget = point_budget or max(
             int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
         )
-        sub, _ = pack_points(blocks[: self.batch_blocks], max_points=budget)
-        if len(sub) < self.batch_blocks:  # same padding as _run_chunked
-            sub = np.concatenate(
-                [sub, np.zeros((self.batch_blocks - len(sub),)
-                               + sub.shape[1:], sub.dtype)]
-            )
-        arrays = [jnp.asarray(sub)]
+        bs = self.batch_blocks
+        sub_blocks = blocks[:bs]
+        flat, offsets = flatten_blocks(sub_blocks)
+        if flat_budget is None:
+            flat_budget = self._flat_budget(offsets)
+        fc = np.full((flat_budget, 3), -1, np.int16)
+        fc[: len(flat)] = flat
+        offs = np.full(bs + 1, len(flat), np.int32)
+        offs[: len(offsets)] = offsets
+        arrays = [jnp.asarray(fc), jnp.asarray(offs)]
         if with_normals:
-            from pcc_geo_cnn_v2_tpu.ops.voxel import pack_attrs
-
-            nrm = pack_attrs(blocks[: self.batch_blocks], [3, 4, 5], budget)
-            if len(nrm) < self.batch_blocks:
-                nrm = np.concatenate(
-                    [nrm, np.zeros((self.batch_blocks - len(nrm),)
-                                   + nrm.shape[1:], nrm.dtype)]
-                )
-            arrays.append(jnp.asarray(nrm))
-        out = self._encode_syms_fn(with_normals)(self.params, *arrays)
+            nf = flatten_blocks(sub_blocks, cols=(3, 4, 5),
+                                dtype=np.float32)[0]
+            nc = np.zeros((flat_budget, 3), np.float32)
+            nc[: len(nf)] = nf
+            arrays.append(jnp.asarray(nc))
+        out = self._encode_syms_fn(with_normals, point_budget=budget)(
+            self.params, *arrays
+        )
         # same widen step as the real run (full-width copies stay on
         # device; only int8 + counts cross the tunnel), so warmup encodes
         # correct symbols even for |sym| > 127 blocks. Note: only the
@@ -534,17 +556,25 @@ class BlockCodec:
                              self.eb_table)
         return (y_string,)
 
-    def _encode_syms_fn(self, with_normals=False):
+    def _encode_syms_fn(self, with_normals=False, point_budget=None):
         """Jitted analysis pass: points → symbols (no synthesis, no sweep).
 
         The decode path runs ONCE later via the decoder-canonical
         executables (``_dec_fn``) whose materialized x_hat also feeds the
         threshold sweep — round 1 ran synthesis 1 + n_metrics times per
         block; this design runs it exactly once.
+
+        With ``point_budget`` the pass takes a FLAT point stream +
+        per-block offsets (only real points cross the tunnel — a dense
+        [N, budget, 3] upload padded to the largest block wastes ~10x
+        link bandwidth on scan clouds) and rebuilds the padded batch on
+        device; without it, the legacy padded-batch signature.
         """
-        if with_normals in self._encode_syms_cache:
-            return self._encode_syms_cache[with_normals]
+        key = (with_normals, point_budget)
+        if key in self._encode_syms_cache:
+            return self._encode_syms_cache[key]
         size = self.block_size
+        bs = self.batch_blocks
 
         def fn(params, pts, normals=None):
             x = voxelize(pts, size)
@@ -576,8 +606,19 @@ class BlockCodec:
                 res["nrm"] = normals  # f32: d2 sweep parity needs full precision
             return res
 
-        jitted = jax.jit(fn)
-        self._encode_syms_cache[with_normals] = jitted
+        if point_budget is not None:
+            def fn_flat(params, flat, offs, normals=None):
+                pts = unflatten_points(flat, offs, bs,
+                                       point_budget).astype(jnp.int32)
+                if with_normals:
+                    normals = unflatten_points(normals, offs, bs,
+                                               point_budget, fill=0)
+                return fn(params, pts, normals)
+
+            jitted = jax.jit(fn_flat)
+        else:
+            jitted = jax.jit(fn)
+        self._encode_syms_cache[key] = jitted
         return jitted
 
     def _sweep_mask_fn(self, opt_metrics, max_deltas, with_normals=False):
@@ -646,7 +687,8 @@ class BlockCodec:
     def compress_blocks_device_opt(self, blocks, binstr, points, resolution,
                                    level, opt_metrics=("d1_mse",),
                                    max_deltas=(np.inf,), with_normals=False,
-                                   need_metrics=True, point_budget=None):
+                                   need_metrics=True, point_budget=None,
+                                   flat_budget=None):
         """Encoder with the fused on-device threshold sweep.
 
         Same outputs as :meth:`compress_blocks`; ~256 host KD-tree metric
@@ -672,10 +714,31 @@ class BlockCodec:
         budget = point_budget or max(
             int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
         )
-        pts_packed, _ = pack_points(blocks, max_points=budget)
-        arrays = [pts_packed]
-        if with_normals:
-            arrays.append(pack_attrs(blocks, [3, 4, 5], budget))
+        assert max(len(b) for b in blocks) <= budget, "budget too small"
+        # flat-stream upload: only real points cross the tunnel; the
+        # padded [bs, budget, 3] batch is rebuilt on device
+        flat, offsets = flatten_blocks(blocks)
+        bs = self.batch_blocks
+        if flat_budget is None:
+            flat_budget = self._flat_budget(offsets)
+        nrm_flat = (flatten_blocks(blocks, cols=(3, 4, 5),
+                                   dtype=np.float32)[0]
+                    if with_normals else None)
+
+        def pts_chunker(lo, hi, _bs):
+            f0, f1 = int(offsets[lo]), int(offsets[hi])
+            fc = np.full((flat_budget, 3), -1, np.int16)
+            fc[: f1 - f0] = flat[f0:f1]
+            offs = np.full(_bs + 1, f1 - f0, np.int32)
+            offs[: hi - lo + 1] = offsets[lo:hi + 1] - f0
+            parts = [fc, offs]
+            if with_normals:
+                nc = np.zeros((flat_budget, 3), np.float32)
+                nc[: f1 - f0] = nrm_flat[f0:f1]
+                parts.append(nc)
+            return parts
+
+        arrays = [pts_chunker]
         t0 = time.time()
         # analysis pass: full-width symbols, occupancy and point lists
         # stay on device (later passes never re-upload them); the host
@@ -687,7 +750,7 @@ class BlockCodec:
             keep += ("nrm",)
         copies = ("y_sym",) + (("z_sym",) if self.is_v2 else ())
         out, dev_keep = self._run_chunked(
-            self._encode_syms_fn(with_normals),
+            self._encode_syms_fn(with_normals, point_budget=budget),
             arrays, n, keep_device=keep, device_copies=copies,
         )
         dup = out.pop("dup_count")
@@ -759,7 +822,8 @@ class BlockCodec:
             packed_dev_by_metric, opt_names, points, resolution, level,
             need_metrics=need_metrics,
             pts_dev=dev_keep["pts16"],
-            nrm_host=arrays[1] if with_normals else None,
+            nrm_host=(pack_attrs(blocks, [3, 4, 5], budget)
+                      if with_normals else None),
         )
         t_select = time.time() - t0
         t0 = time.time()

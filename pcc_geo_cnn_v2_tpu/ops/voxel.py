@@ -13,8 +13,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pack_points", "pack_attrs", "voxelize", "voxelize_attrs",
-           "devoxelize_host"]
+__all__ = ["pack_points", "pack_attrs", "flatten_blocks", "unflatten_points",
+           "voxelize", "voxelize_attrs", "devoxelize_host"]
+
+
+def flatten_blocks(blocks, cols=(0, 1, 2), dtype=np.int16):
+    """Concatenate variable-length blocks into one flat stream + offsets.
+
+    Tunnel-efficient alternative to :func:`pack_points`: only real points
+    cross the device link (a dense [N, budget, 3] batch padded to the
+    LARGEST block wastes ~10x upload on typical scan clouds);
+    :func:`unflatten_points` rebuilds the padded batch on device.
+
+    :return: (flat [F, len(cols)], offsets [N+1] int32)
+    """
+    offsets = np.zeros(len(blocks) + 1, np.int32)
+    np.cumsum([len(b) for b in blocks], out=offsets[1:])
+    flat = np.concatenate(
+        [np.asarray(b)[:, list(cols)] for b in blocks]
+    ).astype(dtype)
+    return flat, offsets
+
+
+def unflatten_points(flat, offs, n_blocks, budget, fill=-1):
+    """Device-side inverse of :func:`flatten_blocks` for one chunk.
+
+    :param flat: [F, C] stream (rows past ``offs[-1]`` are padding).
+    :param offs: [n_blocks + 1] int32 block offsets into ``flat``
+        (``offs[-1]`` = true stream length; trailing blocks of a padded
+        chunk repeat it, giving them empty ranges).
+    :return: [n_blocks, budget, C] with ``fill`` padding rows.
+    """
+    f, c = flat.shape
+    i = jnp.arange(f, dtype=jnp.int32)
+    b = jnp.searchsorted(offs, i, side="right").astype(jnp.int32) - 1
+    slot = i - jnp.take(offs, jnp.clip(b, 0, n_blocks - 1))
+    out = jnp.full((n_blocks, budget, c), fill, flat.dtype)
+    # rows past the true length get b = n_blocks -> dropped
+    return out.at[b, slot].set(flat, mode="drop")
 
 
 def pack_attrs(blocks, cols, max_points, dtype=np.float32):

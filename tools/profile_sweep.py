@@ -85,6 +85,27 @@ def main():
               lambda ck=ck: ps.d1_sweep_sums_pallas(
                   xh, occ, thresholds, chunk=ck, pts=pts16)[0], bs)
 
+    # cost isolation (same executable, crafted data — no recompiles):
+    # floor: first_empty=1 everywhere -> kernel skips all work
+    xh_floor = jnp.full_like(xh, 1e-6)
+    timed("isolate: floor (empty sets)",
+          lambda: ps.d1_sweep_sums_pallas(xh_floor, occ, thresholds,
+                                          pts=pts16)[0], bs)
+    # stores-only: 8 voxels near 1.0 -> count<=sparse_k for every t, so
+    # t_small=0 and the EDT branch never runs; isolates the per-threshold
+    # mask/cnt/ba work (+ sparse tail outside the kernel)
+    base = jnp.zeros_like(xh)
+    xh_sparse = base.at[:, :2, :2, :2].set(0.999)
+    timed("isolate: stores+sparse only",
+          lambda: ps.d1_sweep_sums_pallas(xh_sparse, occ, thresholds,
+                                          pts=pts16)[0], bs)
+    # dense-EDT-heavy: xh == occ -> candidate sets hug the surface, all
+    # mid thresholds on the EDT path with tiny kmax
+    timed("isolate: xh=occ (tight EDT)",
+          lambda: ps.d1_sweep_sums_pallas(
+              occ.astype(jnp.float32) * 0.9, occ, thresholds,
+              pts=pts16)[0], bs)
+
 
 if __name__ == "__main__":
     main()
