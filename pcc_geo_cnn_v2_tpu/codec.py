@@ -157,9 +157,13 @@ class BlockCodec:
         self.threads = threads
         self.coord_budget = int(coord_budget)
         if sweep_backend == "auto":
-            sweep_backend = ("pallas" if jax.default_backend() == "tpu"
+            sweep_backend = ("bucket" if jax.default_backend() == "tpu"
                              else "xla")
         self.sweep_backend = sweep_backend
+        # candidate budget of the bucket sweep (ops/bucket_sweep); blocks
+        # with more voxels above thresholds[0] fall back to the exact XLA
+        # sweep (measured headroom: the bench model tops out ~19k)
+        self.bucket_k = 20480
         self.is_v2 = isinstance(model, CompressionModelV2)
         assert self.is_v2 or isinstance(model, CompressionModelV1)
         self.devices = list(devices) if devices else None
@@ -621,7 +625,8 @@ class BlockCodec:
         self._encode_syms_cache[key] = jitted
         return jitted
 
-    def _sweep_mask_fn(self, opt_metrics, max_deltas, with_normals=False):
+    def _sweep_mask_fn(self, opt_metrics, max_deltas, with_normals=False,
+                       backend=None):
         """Jitted threshold sweep + per-metric mask packing.
 
         Consumes the MATERIALIZED x_hat from the decoder-canonical decode
@@ -629,10 +634,19 @@ class BlockCodec:
         ops/threshold_sweep) and packs the per-metric candidate masks in
         the same dispatch. Masks equal the decoder's bit-for-bit because
         both sides compare the same concrete x_hat values (see __init__).
+
+        The ``bucket`` backend additionally emits an ``overflow`` flag
+        per block (candidate count beyond its budget — picks/masks are
+        then invalid and the caller re-runs those blocks on the exact
+        backend, see :meth:`compress_blocks_device_opt`).
         """
-        key = (tuple(opt_metrics), tuple(max_deltas), with_normals)
+        backend = backend or self.sweep_backend
+        key = (tuple(opt_metrics), tuple(max_deltas), with_normals, backend)
         if key in self._sweep_mask_cache:
             return self._sweep_mask_cache[key]
+        from pcc_geo_cnn_v2_tpu.ops.bucket_sweep import (
+            select_thresholds_d1_bucket,
+        )
         from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
             select_thresholds_d1_batch,
             select_thresholds_d1_pallas,
@@ -642,8 +656,9 @@ class BlockCodec:
 
         size = self.block_size
         thresholds = jnp.asarray(self.thresholds, jnp.float32)
-        backend = self.sweep_backend
         n_metrics = len(opt_metrics) * len(max_deltas)
+        bucket_k = self.bucket_k
+        interpret = jax.default_backend() != "tpu"  # kernels in tests
 
         def fn(params, occ_packed, x_hat, pts16, nrm=None):
             del params  # sweep is model-free; signature matches _run_chunked
@@ -652,6 +667,7 @@ class BlockCodec:
             ).reshape(-1, size, size, size).astype(jnp.float32)
             xh = x_hat[..., 0]
             pts = pts16.astype(jnp.int32)
+            overflow = None
             if with_normals:
                 ngrid = voxelize_attrs(pts, nrm, size)
                 picks = jax.lax.map(
@@ -660,6 +676,12 @@ class BlockCodec:
                         opt_metrics=opt_metrics, max_deltas=max_deltas,
                     ),
                     (occ, xh, ngrid),
+                )
+            elif backend == "bucket":
+                picks, overflow = select_thresholds_d1_bucket(
+                    xh, pts, thresholds, opt_metrics=opt_metrics,
+                    max_deltas=max_deltas, K=bucket_k,
+                    interpret=interpret,
                 )
             elif backend == "pallas":
                 picks = select_thresholds_d1_pallas(
@@ -672,6 +694,8 @@ class BlockCodec:
                     max_deltas=max_deltas,
                 )  # [N, M]
             out = {"picks": picks}
+            if overflow is not None:
+                out["overflow"] = overflow
             thr = jnp.take(thresholds, picks, axis=0)  # [N, M]
             for m in range(n_metrics):
                 mpc = self._mask_coords_raw(x_hat, thr[:, m])
@@ -794,6 +818,12 @@ class BlockCodec:
         out2, mask_dev = self._run_chunked(
             dec_sweep, arrays2, n, keep_device=mask_keys,
         )
+        overflow = out2.pop("overflow", None)
+        if overflow is not None and np.any(overflow):
+            self._rerun_overflowed(
+                np.nonzero(overflow)[0], out2, mask_dev, sym_dev, dev_keep,
+                opt_metrics, max_deltas, with_normals, n_metrics,
+            )
         picks = np.asarray(out2["picks"])
         packed_dev_by_metric = [mask_dev[f"masks{m}"]
                                 for m in range(n_metrics)]
@@ -841,6 +871,44 @@ class BlockCodec:
             list(zip(strings_list, by_metric[m["idx"]])) for m in metadata
         ]
         return data_list, metadata
+
+    def _rerun_overflowed(self, idx, out2, mask_dev, sym_dev, dev_keep,
+                          opt_metrics, max_deltas, with_normals, n_metrics):
+        """Re-run bucket-overflowed blocks through the exact XLA sweep.
+
+        A block overflows when more than ``bucket_k`` voxels sit above
+        thresholds[0] (e.g. a divergent model emitting diffuse
+        probabilities everywhere). Its bucket picks/masks are invalid, so
+        the decoder-canonical decode + exact sweep re-runs for just those
+        blocks and splices picks / positions / packed masks in place —
+        the common case never pays for the possibility.
+        """
+        logger.info("bucket sweep overflow: re-running %d block(s) on the "
+                    "exact XLA backend", len(idx))
+        fb = self._sweep_mask_fn(opt_metrics, max_deltas, with_normals,
+                                 backend="xla")
+        params = self._params_per_dev[0] if self.devices else self.params
+        bs = self.batch_blocks
+        for lo in range(0, len(idx), bs):
+            sel = idx[lo:lo + bs]
+            pad = np.concatenate([sel, np.full(bs - len(sel), sel[0])])
+            gather = jnp.asarray(pad)
+            y = jnp.take(sym_dev["y_sym"], gather, axis=0)
+            occ = jnp.take(dev_keep["packed_occ"], gather, axis=0)
+            pts = jnp.take(dev_keep["pts16"], gather, axis=0)
+            nrm = ((jnp.take(dev_keep["nrm"], gather, axis=0),)
+                   if with_normals else ())
+            x_hat = self._dec_fn(params, y)
+            res = fb(params, occ, x_hat, pts, *nrm)
+            js = jnp.asarray(sel)
+            k = len(sel)
+            out2["picks"][sel] = np.asarray(res["picks"])[:k]
+            for m in range(n_metrics):
+                out2[f"pos{m}"][sel] = np.asarray(res[f"pos{m}"])[:k]
+                out2[f"count{m}"][sel] = np.asarray(res[f"count{m}"])[:k]
+                mask_dev[f"masks{m}"] = (
+                    mask_dev[f"masks{m}"].at[js].set(res[f"masks{m}"][:k])
+                )
 
     def _d1_full_cloud_metrics(self, occ_packed, mask_packed, origins,
                                x_hat_blocks, points, resolution):

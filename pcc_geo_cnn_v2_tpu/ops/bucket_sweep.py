@@ -1,0 +1,276 @@
+"""Bucket-ordered adaptive-threshold D1 sweep (the fast path on TPU).
+
+The EDT sweep (``ops/pallas_sweep.py``) pays per-THRESHOLD volume work:
+even with dynamically bounded min-plus passes, a 256-threshold sweep on
+real model output costs ~15 ms/block because the decoder emits *diffuse*
+probabilities — measured on the benchmark checkpoint, the median 64³
+block has ~6.7k voxels above threshold 0 spread across the whole [0, 1]
+range, so ~150+ thresholds hold candidate sets too large for the sparse
+top-k branch and each runs its own bounded EDT.
+
+This module exploits the one structural fact the per-threshold view
+ignores: candidate sets are NESTED.  Sort the candidates (voxels with
+``x_hat > thresholds[0]``) once, descending by probability.  Then for
+every threshold ``t`` the candidate set is exactly a PREFIX of that
+order (strict ``>`` comparisons break ties by value, so equal-valued
+voxels enter together and any within-value order is valid), and all
+three per-threshold quantities collapse into prefix structures over one
+points×candidates distance matrix:
+
+- ``count(t)``   = #sorted values > t                      (compare+sum)
+- ``ba_sum(t)``  = Σ_{k < count(t)} min_p d²(p, cand_k)    (prefix sum of
+  the per-candidate column minimum — the EDT of the originals evaluated
+  at the candidate, without materializing any volume)
+- ``ab_sum(t)``  = Σ_p min_{k < count(t)} d²(p, cand_k)    (running
+  prefix-min along the sorted axis).  The gather position ``count(t)-1``
+  is shared by every original point, so only the COLUMN SUM of the
+  prefix-min matrix is needed — never the matrix itself.
+
+The prefix-min column sums and column minima come from a small Pallas
+kernel that keeps each [pc, kc] distance tile in VMEM (the XLA
+formulation materializes every log-doubling pass in HBM: ~8 GB of
+traffic per dense block at K = 20480).  Per-block tile counts are
+scalar-prefetched so padded points / candidate slots cost nothing.
+
+Blocks whose candidate count exceeds the static budget ``K`` (a diverged
+model, or pathological inputs) are flagged via ``overflow`` and the
+caller re-runs them on the exact EDT backend — the common case never
+pays for the possibility.
+
+Selection semantics are shared with the other backends
+(``threshold_sweep._select_from_sweep``), reproducing the reference's
+``model_opt.py:21-77`` ordering, max_delta fallbacks and centroid guard.
+Reference hot loop being replaced: ``/root/reference/src/model_opt.py``
+(≤256 host KD-tree metric evaluations per block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pcc_geo_cnn_v2_tpu.ops.edt import INF
+
+__all__ = ["bucket_sweep_sums", "select_thresholds_d1_bucket"]
+
+BIG = 1e9  # > any real d² (≤ 3·(B-1)²) and any sentinel d²
+SENTINEL = 1e4  # padded candidate coordinate: d² ≥ ~1e8 ≫ any real d²
+
+
+def _bucket_kernel(kt_ref, pt_ref, pts_ref, cand_ref, colsum_ref,
+                   candmin_ref, carry, *, pc, kc):
+    """Grid (N, K/kc, P/pc), p-tiles innermost.
+
+    carry[p, 0] holds each point's running min over all candidate tiles
+    before the current one; colsum/candmin tiles live in VMEM across the
+    p-tile loop (their index map ignores ``i``).
+    """
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+
+    @pl.when((j < kt_ref[n]) & (i < pt_ref[n]))
+    def _():
+        p = pts_ref[0]  # [pc, 3] f32 (pad rows have x < 0)
+        c = cand_ref[0]  # [3, kc] f32 (pad slots = SENTINEL)
+        valid = p[:, 0:1] >= 0.0  # [pc, 1]
+        d2 = jnp.zeros((pc, kc), jnp.float32)
+        for d in range(3):
+            diff = p[:, d:d + 1] - c[d:d + 1, :]
+            d2 = d2 + diff * diff
+
+        cm = jnp.min(jnp.where(valid, d2, BIG), axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _():
+            candmin_ref[...] = cm
+
+        @pl.when(i > 0)
+        def _():
+            candmin_ref[...] = jnp.minimum(candmin_ref[...], cm)
+
+        # inclusive prefix-min along the sorted-candidate (lane) axis
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+        pm = d2
+        s = 1
+        while s < kc:
+            rolled = pltpu.roll(pm, s, 1)  # [k] = pm[k - s]
+            pm = jnp.minimum(pm, jnp.where(lane >= s, rolled, BIG))
+            s *= 2
+        # chain through previous candidate tiles
+        prev = jnp.where(j > 0, carry[pl.ds(i * pc, pc), :], BIG)
+        pm = jnp.minimum(pm, prev)
+        carry[pl.ds(i * pc, pc), :] = pm[:, kc - 1:kc]
+
+        contrib = jnp.sum(jnp.where(valid, pm, 0.0), axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _():
+            colsum_ref[...] = contrib
+
+        @pl.when(i > 0)
+        def _():
+            colsum_ref[...] = colsum_ref[...] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "pc", "interpret"))
+def _bucket_colsums_pallas(pts_f, cand, kt, pt, kc=1024, pc=512,
+                           interpret=False):
+    """colsum[n, k] = Σ_p prefix-min_{j ≤ k} d²(p, cand_j) and
+    candmin[n, k] = min_p d²(p, cand_k), tiles resident in VMEM.
+
+    :param pts_f: [N, P, 3] f32 original points (pad rows x < 0).
+    :param cand: [N, 3, K] f32 sorted candidate coords (pads = SENTINEL).
+    :param kt: [N] int32 — #active candidate tiles per block.
+    :param pt: [N] int32 — #active point tiles per block.
+    """
+    n, p_dim, _ = pts_f.shape
+    k_dim = cand.shape[-1]
+    pc = min(pc, p_dim)
+    kc = min(kc, k_dim)
+    assert p_dim % pc == 0 and k_dim % kc == 0, (p_dim, pc, k_dim, kc)
+    grid = (n, k_dim // kc, p_dim // pc)
+    kernel = functools.partial(_bucket_kernel, pc=pc, kc=kc)
+    out_spec = pl.BlockSpec((1, kc), lambda b, j, i, *_: (b, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n, k_dim), jnp.float32)
+    colsum, candmin = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, pc, 3), lambda b, j, i, *_: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, kc), lambda b, j, i, *_: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(out_spec, out_spec),
+            scratch_shapes=[pltpu.VMEM((p_dim, 1), jnp.float32)],
+        ),
+        out_shape=(shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kt, pt, pts_f, cand)
+    return colsum, candmin
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "kc", "pc", "interpret"))
+def bucket_sweep_sums(x_hat, pts, thresholds, K=20480, kc=1024, pc=512,
+                      interpret=False):
+    """Per-threshold D1 sums for a block batch, bucket-ordered.
+
+    :param x_hat: [N, B, B, B] decoded probabilities.
+    :param pts: [N, P, 3] int occupied-voxel lists (-1 rows = padding;
+        must cover exactly the occupied voxels — enforced upstream by the
+        codec's duplicate guard).
+    :param thresholds: [T] ascending, thresholds[0] ≥ 0.
+    :param K: candidate budget. Blocks with more than K voxels above
+        ``thresholds[0]`` are flagged in ``overflow`` and their sums are
+        garbage — the caller must re-run them on an exact backend.
+    :return: (ab_sum [N,T], ba_sum [N,T], count [N,T] f32, overflow [N]).
+    """
+    n, size = x_hat.shape[0], x_hat.shape[-1]
+    flat = x_hat.reshape(n, -1).astype(jnp.float32)
+    K = min(K, flat.shape[-1])  # small blocks: budget caps at the volume
+    t0 = thresholds[0]
+    cnt0 = jnp.sum(flat > t0, axis=-1).astype(jnp.int32)  # [N]
+    overflow = cnt0 > K
+
+    vals, pos = jax.lax.top_k(flat, K)  # descending; ties by position
+    k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+    valid_k = k_iota < cnt0[:, None]
+    coords = jnp.stack(
+        [pos // (size * size), (pos // size) % size, pos % size], axis=1
+    ).astype(jnp.float32)  # [N, 3, K]
+    cand = jnp.where(valid_k[:, None, :], coords, SENTINEL)
+
+    pts_f = pts.astype(jnp.float32)
+    p_dim = pts_f.shape[1]
+    pc_eff = min(pc, p_dim)
+    kc_eff = min(kc, K)
+    n_pts = jnp.sum(pts_f[:, :, 0] >= 0, axis=-1).astype(jnp.int32)
+    kt = jnp.clip((cnt0 + kc_eff - 1) // kc_eff, 0, K // kc_eff)
+    pt = jnp.clip((n_pts + pc_eff - 1) // pc_eff, 1, p_dim // pc_eff)
+    colsum, candmin = _bucket_colsums_pallas(
+        pts_f, cand, kt, pt, kc=kc, pc=pc, interpret=interpret
+    )
+
+    # count(t) — value comparisons, so ties match `x_hat > t` exactly;
+    # padded top-k entries have vals ≤ t0 and never count
+    cnt = jnp.sum(
+        vals[:, None, :] > thresholds[None, :, None], axis=-1
+    ).astype(jnp.int32)  # [N, T]
+    bacum = jnp.cumsum(jnp.where(valid_k, candmin, 0.0), axis=-1)
+    idx = jnp.clip(cnt - 1, 0, K - 1)
+    ab = jnp.where(cnt > 0, jnp.take_along_axis(colsum, idx, axis=1), INF)
+    ba = jnp.where(cnt > 0, jnp.take_along_axis(bacum, idx, axis=1), 0.0)
+    return ab, ba, cnt.astype(jnp.float32), overflow
+
+
+def _centroid_guard_metric_pts(pts_f, n_orig, metric):
+    """D1 metric of the single centroid point (``model_opt.py:60-62``)
+    from the packed point list — no volume EDT required: the BA term is
+    the centroid's distance to its nearest original point."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import _metrics_from_sums
+
+    valid = pts_f[:, 0] >= 0.0
+    w = valid.astype(jnp.float32)[:, None]
+    s1 = jnp.sum(pts_f * w, axis=0)
+    s2 = jnp.sum((pts_f ** 2) * w, axis=0)
+    c = jnp.round(s1 / jnp.maximum(n_orig, 1))
+    ab_sum = jnp.sum(s2) - 2 * jnp.dot(c, s1) + n_orig * jnp.dot(c, c)
+    d2 = jnp.sum((pts_f - c[None, :]) ** 2, axis=-1)
+    ba_sum = jnp.min(jnp.where(valid, d2, BIG))
+    m = _metrics_from_sums(ab_sum, ba_sum, jnp.maximum(n_orig, 1),
+                           jnp.asarray(1))
+    return m[metric]
+
+
+def select_thresholds_d1_bucket(x_hat, pts, thresholds,
+                                opt_metrics=("d1_mse",),
+                                max_deltas=(np.inf,), K=20480,
+                                interpret=False):
+    """Best threshold per (max_delta × opt_metric) via the bucket sweep.
+
+    Identical picks to ``select_thresholds_d1_pallas`` /
+    ``select_thresholds_d1_batch`` wherever ``overflow`` is False; callers
+    must re-run flagged blocks on an exact backend.
+
+    :return: (picks [N, M] int32, overflow [N] bool).
+    """
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+        D1_METRICS,
+        _metrics_from_sums,
+        _select_from_sweep,
+    )
+
+    for m in opt_metrics:
+        assert m in D1_METRICS, f"{m} not supported on device"
+    ab, ba, cnt, overflow = bucket_sweep_sums(
+        x_hat, pts, thresholds, K=K, interpret=interpret
+    )
+    pts_f = pts.astype(jnp.float32)
+    n_orig = jnp.sum(pts_f[:, :, 0] >= 0.0, axis=-1).astype(jnp.float32)
+
+    def per_block(ab_b, ba_b, cnt_b, n_b, pts_b):
+        sweep = _metrics_from_sums(ab_b, ba_b, jnp.maximum(n_b, 1), cnt_b)
+        sweep["count"] = cnt_b
+
+        def guard_fn(metric):
+            return _centroid_guard_metric_pts(pts_b, n_b, metric)
+
+        return _select_from_sweep(sweep, None, None, thresholds,
+                                  opt_metrics, max_deltas,
+                                  guard_fn=guard_fn, n_orig=n_b)
+
+    picks = jax.vmap(per_block)(ab, ba, cnt, n_orig, pts_f)
+    return picks, overflow

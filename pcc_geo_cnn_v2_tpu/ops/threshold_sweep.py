@@ -202,16 +202,21 @@ def _centroid_guard_metric(occ, dt_orig_at, metric):
 
 
 def _select_from_sweep(sweep, occ, dt_orig, thresholds, opt_metrics,
-                       max_deltas, guard_fn=None):
-    """Selection semantics shared by the XLA and Pallas sweep backends.
+                       max_deltas, guard_fn=None, n_orig=None):
+    """Selection semantics shared by the XLA, Pallas and bucket backends.
 
     :param guard_fn: metric name → centroid-guard value; defaults to the
         D1 guard over ``dt_orig``.
+    :param n_orig: original point count; derived from ``occ`` when absent
+        (the bucket backend never materializes an occupancy volume, so it
+        passes both ``guard_fn`` and ``n_orig`` and ``occ``/``dt_orig``
+        may be None).
     """
     counts = sweep["count"]
     T = thresholds.shape[0]
     max_idx = T - 1
-    n_orig = jnp.sum(jnp.asarray(occ, jnp.float32))
+    if n_orig is None:
+        n_orig = jnp.sum(jnp.asarray(occ, jnp.float32))
 
     # eligibility: reference stops at the first empty threshold
     empty = counts == 0

@@ -292,3 +292,35 @@ def test_set_params_matches_fresh_codec():
     dec = codec.decompress_blocks(d_b[0])
     for a, b in zip(meta_b[0]["x_hat_list"], dec):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bucket_backend_matches_xla_and_overflow_fallback():
+    """sweep_backend='bucket' (the TPU default) must emit identical
+    payloads/selections to the exact XLA backend; with a tiny candidate
+    budget every block overflows and the splice-back fallback must still
+    reproduce the exact result."""
+    pts = _random_cloud(13)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3,
+                                      LEVEL)
+    cfg = dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+               synthesis="SynthesisTransformV1")
+    ref_codec = _init_codec(cfg, sweep_backend="xla")
+    kw = dict(opt_metrics=("d1_mse", "d1_mse_BA"), max_deltas=(np.inf, 3.0))
+    ref_data, ref_meta = ref_codec.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL, **kw)
+
+    bk = _init_codec(cfg, sweep_backend="bucket")
+    bk.bucket_k = BLOCK ** 3  # ample: no overflow
+    b_data, b_meta = bk.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL, **kw)
+    assert b_data[0] == ref_data[0]
+    assert [m["idx"] for m in b_meta] == [m["idx"] for m in ref_meta]
+
+    ov = _init_codec(cfg, sweep_backend="bucket")
+    ov.bucket_k = 128  # every non-trivial block overflows → XLA fallback
+    o_data, o_meta = ov.compress_blocks_device_opt(
+        blocks, binstr, pts, RESOLUTION, LEVEL, **kw)
+    assert o_data[0] == ref_data[0]
+    for om, rm in zip(o_meta, ref_meta):
+        for ob, rb in zip(om["x_hat_list"], rm["x_hat_list"]):
+            np.testing.assert_array_equal(np.asarray(ob), np.asarray(rb))
