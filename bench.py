@@ -211,37 +211,62 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
                  flat_budget=flat_budget)
     log("warmup done")
 
-    t_enc = 0.0
-    raws, metas = [], []
-    for pts, blocks, binstr in clouds:
-        t0 = time.time()
+    # BENCH_PIPELINE=k (default 2): k clouds in flight — one cloud's host
+    # phases (rANS, unpack, container) overlap the next cloud's device
+    # dispatches. The TPU serializes the actual kernels, so per-cloud
+    # numbers are unchanged; only idle host/tunnel gaps are reclaimed.
+    # Throughput is measured as wall time over all clouds either way.
+    workers = int(os.environ.get("BENCH_PIPELINE", "2"))
+
+    def encode_one(cloud):
+        pts, blocks, binstr = cloud
         data_list, metadata = codec.compress_blocks_device_opt(
             blocks, binstr, pts, resolution, level,
             opt_metrics=("d1_mse",), point_budget=budget,
             flat_budget=flat_budget,
         )
-        t_enc += time.time() - t0
-        raws.append(gzip.compress(save_compressed_file(
-            binstr, data_list[0], resolution, level)))
-        metas.append(metadata)
+        raw = gzip.compress(save_compressed_file(
+            binstr, data_list[0], resolution, level))
+        return raw, metadata
+
+    t0 = time.time()
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            results = list(ex.map(encode_one, clouds))
+    else:
+        results = [encode_one(c) for c in clouds]
+    t_enc = time.time() - t0
+    raws = [r for r, _ in results]
+    metas = [m for _, m in results]
     n_pts = sum(len(pts) for pts, _, _ in clouds)
     bpp = sum(len(r) for r in raws) * 8 / n_pts
     log(f"encode {t_enc:.2f}s ({n_blocks/t_enc:.2f} blocks/s), "
-        f"{bpp:.3f} bpp")
+        f"{bpp:.3f} bpp [pipeline={workers}]")
 
-    t_dec = 0.0
-    for raw, metadata in zip(raws, metas):
+    def decode_one(args):
+        raw, metadata = args
         _, _, _, payload = load_compressed_file(
             io.BytesIO(gzip.decompress(raw))
         )
-        t0 = time.time()
         dec_blocks = codec.decompress_blocks(payload)
-        t_dec += time.time() - t0
         ok = all(
             np.array_equal(d, e)
             for d, e in zip(dec_blocks, metadata[0]["x_hat_list"])
         )
         assert ok, "decoder output != encoder-embedded reconstruction"
+
+    t0 = time.time()
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(decode_one, zip(raws, metas)))
+    else:
+        for a in zip(raws, metas):
+            decode_one(a)
+    t_dec = time.time() - t0
     log(f"decode {t_dec:.2f}s ({n_blocks/t_dec:.2f} blocks/s)")
 
     value = n_blocks / (t_enc + t_dec)
