@@ -343,10 +343,16 @@ class BlockCodec:
         :param device_copies: dict-output keys to keep on device IN ADDITION
             to the host copy (merged into the ``keep_device`` dict).
         """
+        import os
+        import time
+
+        timing = os.environ.get("PCC_TIMING")
+        t_build = t_put = t_disp = 0.0
         outs = []
         bs = self.batch_blocks
         for k, lo in enumerate(range(0, n, bs)):
             hi = min(lo + bs, n)
+            t0 = time.time()
             chunk = []
             for a in arrays:
                 if callable(a):
@@ -360,6 +366,7 @@ class BlockCodec:
                                      c.dtype)]
                     )
                 chunk.append(c)
+            t1 = time.time()
             if self.devices:
                 dev = self.devices[k % len(self.devices)]
                 params = self._params_per_dev[k % len(self.devices)]
@@ -367,7 +374,11 @@ class BlockCodec:
             else:
                 params = self.params
                 chunk_dev = [jnp.asarray(c) for c in chunk]
+            t2 = time.time()
             outs.append(fn(params, *chunk_dev))
+            t_build += t1 - t0
+            t_put += t2 - t1
+            t_disp += time.time() - t2
         def _concat_on_one_device(parts):
             if self.devices:  # round-robin leaves parts on many devices
                 parts = [jax.device_put(p, self.devices[0]) for p in parts]
@@ -381,7 +392,14 @@ class BlockCodec:
         dev_full = None
         if also_device:
             dev_full = _concat_on_one_device(outs)
+        t3 = time.time()
         host = jax.device_get(outs)
+        if timing:
+            logger.info(
+                "_run_chunked(%d items, %d chunks): build %.2fs, put "
+                "%.2fs, dispatch %.2fs, keep/concat+fetch %.2fs",
+                n, -(-n // bs), t_build, t_put, t_disp, time.time() - t3,
+            )
         stitched = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs),
                                           *host)
         stitched = jax.tree_util.tree_map(lambda a: a[:n], stitched)
