@@ -451,25 +451,32 @@ class BlockCodec:
         bsz = self.block_size
         count = np.asarray(count)
         over = np.nonzero(count > self.coord_budget)[0]
-        over_bits = {}
+        over_pts = {}
         if len(over):
             rows = jax.device_get(
                 jnp.take(masks_dev, jnp.asarray(over), axis=0))
-            for i, row in zip(over, rows):
-                over_bits[int(i)] = np.unpackbits(row, bitorder="big")
+            # one batched unpack + argwhere, split by row (a per-block
+            # loop here measured ~1 s/cloud on dense scan clouds)
+            bits = np.unpackbits(rows, axis=-1, bitorder="big")
+            cz = np.argwhere(bits.reshape(len(over), bsz, bsz, bsz))
+            splits = np.searchsorted(cz[:, 0], np.arange(1, len(over)))
+            for i, coords in zip(over,
+                                 np.split(cz[:, 1:].astype(np.float32),
+                                          splits)):
+                over_pts[int(i)] = coords
             logger.info("%d/%d blocks over coord budget %d (mask rows "
                         "fetched)", len(over), len(count),
                         self.coord_budget)
         out = []
         for i in range(len(count)):
             if count[i] > self.coord_budget:
-                coords = np.argwhere(
-                    over_bits[i].reshape(bsz, bsz, bsz))
+                coords = over_pts[int(i)]
             else:
                 p = pos[i, : count[i]].astype(np.int64)
                 coords = np.stack(
-                    [p // (bsz * bsz), (p // bsz) % bsz, p % bsz], 1)
-            out.append(coords.astype(np.float32))
+                    [p // (bsz * bsz), (p // bsz) % bsz, p % bsz],
+                    1).astype(np.float32)
+            out.append(coords)
         return out
 
     # -- encode ------------------------------------------------------------

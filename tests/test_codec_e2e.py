@@ -324,3 +324,25 @@ def test_bucket_backend_matches_xla_and_overflow_fallback():
     for om, rm in zip(o_meta, ref_meta):
         for ob, rb in zip(om["x_hat_list"], rm["x_hat_list"]):
             np.testing.assert_array_equal(np.asarray(ob), np.asarray(rb))
+
+
+def test_over_coord_budget_mask_fallback():
+    """Blocks denser than coord_budget decode via fetched mask rows; the
+    batched unpack must match the compact-position path exactly."""
+    pts = _random_cloud(17)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3,
+                                      LEVEL)
+    cfg = dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+               synthesis="SynthesisTransformV1")
+    wide = _init_codec(cfg)                      # budget 512: all compact
+    tight = _init_codec(cfg, coord_budget=8)     # everything over budget
+    d_w, m_w = wide.compress_blocks_device_opt(blocks, binstr, pts,
+                                               RESOLUTION, LEVEL)
+    d_t, m_t = tight.compress_blocks_device_opt(blocks, binstr, pts,
+                                                RESOLUTION, LEVEL)
+    assert d_w[0] == d_t[0]
+    for a, b in zip(m_w[0]["x_hat_list"], m_t[0]["x_hat_list"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(wide.decompress_blocks(d_w[0]),
+                    tight.decompress_blocks(d_t[0])):
+        np.testing.assert_array_equal(a, b)
