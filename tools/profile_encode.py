@@ -93,7 +93,7 @@ def main():
     timed("C decode_y (synthesis)", lambda: codec._dec_fn(pparams, y_feed),
           bs)
 
-    for backend in ("pallas", "xla"):
+    for backend in ("bucket", "pallas", "xla"):
         codec.sweep_backend = backend
         codec._sweep_mask_cache.clear()
         sm = codec._sweep_mask_fn(("d1_mse",), (np.inf,), False)
