@@ -164,6 +164,10 @@ class BlockCodec:
         # with more voxels above thresholds[0] fall back to the exact XLA
         # sweep (measured headroom: the bench model tops out ~19k)
         self.bucket_k = 20480
+        # nonzero-slot budget of the sparse y-symbol transfer (trained
+        # models emit ~99% zeros; measured ≤580 nonzeros/block on the
+        # bench checkpoint); denser blocks re-fetch their full rows
+        self.sym_nz_budget = 2048
         self.is_v2 = isinstance(model, CompressionModelV2)
         assert self.is_v2 or isinstance(model, CompressionModelV1)
         self.devices = list(devices) if devices else None
@@ -420,6 +424,24 @@ class BlockCodec:
         from the device-retained full-width copy. Divergent models that
         emit |symbol| > 32767 take the int32 path instead of aborting.
         """
+        if "y_nzpos" in out:
+            # rebuild the dense int8 grid from the sparse transfer
+            pos = out.pop("y_nzpos")
+            val = out.pop("y_nzval")
+            cnt = out.pop("y_nzcnt")
+            n, nzb = pos.shape
+            flat = np.zeros((n, int(np.prod(self.y_shape))), np.int8)
+            valid = np.arange(nzb)[None, :] < np.minimum(cnt, nzb)[:, None]
+            flat[np.nonzero(valid)[0], pos[valid]] = val[valid]
+            over = np.nonzero(cnt > nzb)[0]
+            if len(over):
+                rows = jax.device_get(jnp.take(
+                    dev_keep["y_sym_full"], jnp.asarray(over), axis=0))
+                flat[over] = np.clip(rows, -128, 127).astype(
+                    np.int8).reshape(len(over), -1)
+                logger.info("re-fetched %d blocks over the %d-nonzero "
+                            "symbol budget", len(over), nzb)
+            out["y_sym"] = flat.reshape((n,) + self.y_shape)
         sym_dev = {}
         for key in ("y_sym", "z_sym") if self.is_v2 else ("y_sym",):
             wide = np.nonzero(out.pop(f"{key}_wide"))[0]
@@ -531,8 +553,8 @@ class BlockCodec:
                     if k.endswith("_full") or k in ("y_sym", "z_sym")
                     or k in dev_only}
         for k in list(out):
-            if k.endswith("_full") or k in dev_only:
-                out.pop(k)
+            if k.endswith("_full") or k in dev_only or k == "y_sym":
+                out.pop(k)  # y_sym host copy comes from the sparse rebuild
         out = jax.device_get(out)
         out.pop("dup_count", None)  # padding blocks alias (0,0,0)
         sym_dev = self._widen_symbols(out, dev_keep)
@@ -604,6 +626,7 @@ class BlockCodec:
             return self._encode_syms_cache[key]
         size = self.block_size
         bs = self.batch_blocks
+        nzb = min(self.sym_nz_budget, int(np.prod(self.y_shape)))
 
         def fn(params, pts, normals=None):
             x = voxelize(pts, size)
@@ -611,6 +634,24 @@ class BlockCodec:
                                    method=self.model.encode_syms)
             occ = x[..., 0]
             res = self._compact(out, narrow=True)
+            # y symbols cross the tunnel SPARSE: trained models emit ~99%
+            # zeros, so the nonzero coordinate list (~1-3 KB/block) beats
+            # the dense int8 grid (~32 KB/block at 64³) ~10x; blocks with
+            # more than ``nzb`` nonzeros re-fetch their full rows on host
+            # (see _widen_symbols). The dense int8 copy stays on device
+            # as the decoder-canonical feed.
+            flat8 = res["y_sym"].reshape(res["y_sym"].shape[0], -1)
+            nz = flat8 != 0
+            res["y_nzcnt"] = jnp.sum(nz, axis=-1).astype(jnp.int32)
+            slot = jnp.where(nz, jnp.cumsum(nz, axis=-1) - 1, nzb)
+            b_i = jax.lax.broadcasted_iota(jnp.int32, nz.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, nz.shape, 1)
+            res["y_nzpos"] = jnp.zeros(
+                (nz.shape[0], nzb), jnp.int32
+            ).at[b_i, slot].set(col, mode="drop")
+            res["y_nzval"] = jnp.zeros(
+                (nz.shape[0], nzb), jnp.int8
+            ).at[b_i, slot].set(flat8, mode="drop")
             # packed original occupancy feeds the sweep and the on-device
             # full-cloud metric (ops/cloud_metrics); 1 bit/voxel
             res["packed_occ"] = jnp.packbits(
@@ -792,12 +833,12 @@ class BlockCodec:
         # analysis pass: full-width symbols, occupancy and point lists
         # stay on device (later passes never re-upload them); the host
         # receives int8 symbols + per-block wide counts
-        keep = ("packed_occ", "y_sym_full", "pts16")
+        keep = ("packed_occ", "y_sym_full", "pts16", "y_sym")
         if self.is_v2:
             keep += ("z_sym_full",)
         if with_normals:
             keep += ("nrm",)
-        copies = ("y_sym",) + (("z_sym",) if self.is_v2 else ())
+        copies = ("z_sym",) if self.is_v2 else ()
         out, dev_keep = self._run_chunked(
             self._encode_syms_fn(with_normals, point_budget=budget),
             arrays, n, keep_device=keep, device_copies=copies,

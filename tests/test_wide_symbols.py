@@ -77,3 +77,38 @@ def test_wide_symbols_entropy_roundtrip():
     data = rc.encode(sym, idx, table)
     dec = rc.decode(data, idx, table)
     np.testing.assert_array_equal(dec, sym)
+
+
+def test_sparse_symbol_budget_overflow_refetch():
+    """Blocks with more nonzero y symbols than sym_nz_budget must rebuild
+    from the device-retained full rows and still roundtrip bit-exact."""
+    import numpy as np
+    from pcc_geo_cnn_v2_tpu.codec import BlockCodec
+    from pcc_geo_cnn_v2_tpu.models.configs import build_model
+    from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
+    import jax
+
+    rng = np.random.default_rng(21)
+    pts = np.unique(rng.integers(0, 32, size=(700, 3)).astype(np.float64),
+                    axis=0)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [32] * 3, 1)
+    model = build_model(dict(model="v2", num_filters=8,
+                             analysis="AnalysisTransformV1",
+                             synthesis="SynthesisTransformV1"))
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 16, 16, 16, 1), np.float32),
+                        training=False)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    syn = params["params"]["synthesis_t"]
+    last = sorted(k for k in syn if k.startswith("ConvTranspose"))[-1]
+    syn[last]["bias"] = syn[last]["bias"] + 0.55
+
+    ref = BlockCodec(model, params, block_size=16, batch_blocks=4)
+    tiny = BlockCodec(model, params, block_size=16, batch_blocks=4)
+    tiny.sym_nz_budget = 2  # force every block over the sparse budget
+    d_r, _ = ref.compress_blocks_device_opt(blocks, binstr, pts, 32, 1)
+    d_t, m_t = tiny.compress_blocks_device_opt(blocks, binstr, pts, 32, 1)
+    assert d_r[0] == d_t[0], "sparse-overflow path changed the bitstream"
+    dec = tiny.decompress_blocks(d_t[0])
+    for a, b in zip(m_t[0]["x_hat_list"], dec):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
