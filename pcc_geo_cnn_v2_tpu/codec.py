@@ -1238,8 +1238,42 @@ class BlockCodec:
                         )
                     )
                 ))
-        outm, mdev = self._run_chunked(dec_mask, [y_syms, thr], n,
-                                       keep_device=("packed",))
+        # mirror of the encoder's sparse transfer: int8 symbol batches
+        # upload as a (position, value) list and scatter to the dense grid
+        # on device — the SAME decode executable then consumes identical
+        # values, so the canonical-decode guarantee is untouched. Batches
+        # with a block over the nonzero budget (or wider dtypes) upload
+        # dense.
+        flat_host = y_syms.reshape(n, -1)
+        nzb = min(self.sym_nz_budget, flat_host.shape[1])
+        use_sparse = flat_host.dtype == np.int8
+        if use_sparse:
+            r, c = np.nonzero(flat_host)
+            cnt = np.bincount(r, minlength=n)
+            use_sparse = cnt.max(initial=0) <= nzb
+        if use_sparse:
+            slot = np.arange(len(r)) - np.repeat(
+                np.insert(np.cumsum(cnt), 0, 0)[:-1], cnt)
+            pos = np.zeros((n, nzb), np.int32)
+            val = np.zeros((n, nzb), np.int8)
+            pos[r, slot] = c
+            val[r, slot] = flat_host[r, c]
+            y_shape = tuple(y_syms.shape[1:])
+            flat_size = flat_host.shape[1]
+
+            def dec_mask_sparse(params, pos_c, val_c, thr_chunk):
+                b_i = jax.lax.broadcasted_iota(jnp.int32, pos_c.shape, 0)
+                y = jnp.zeros(
+                    (pos_c.shape[0], flat_size), jnp.int8
+                ).at[b_i, pos_c].add(val_c).reshape((-1,) + y_shape)
+                return dec_mask(params, y, thr_chunk)
+
+            outm, mdev = self._run_chunked(dec_mask_sparse,
+                                           [pos, val, thr], n,
+                                           keep_device=("packed",))
+        else:
+            outm, mdev = self._run_chunked(dec_mask, [y_syms, thr], n,
+                                           keep_device=("packed",))
         dec_blocks = self._points_from_pos(outm["pos"], outm["count"],
                                            mdev["packed"])
         if return_debug:
