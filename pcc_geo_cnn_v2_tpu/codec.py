@@ -327,7 +327,7 @@ class BlockCodec:
     # -- device passes in chunks ------------------------------------------
 
     def _run_chunked(self, fn, arrays, n, keep_device=(), also_device=False,
-                     device_copies=()):
+                     device_copies=(), defer=False):
         """Apply a jitted per-batch fn over n items, padding the last chunk.
 
         All chunks are dispatched before any result is fetched — JAX's async
@@ -346,6 +346,10 @@ class BlockCodec:
             the concatenated device array.
         :param device_copies: dict-output keys to keep on device IN ADDITION
             to the host copy (merged into the ``keep_device`` dict).
+        :param defer: return a zero-arg finisher instead of results —
+            dispatch happens now, the host fetch happens when the finisher
+            is called. Lets a cheap pass's big fetch overlap a later
+            pass's device compute (dispatch both, then fetch).
         """
         import os
         import time
@@ -396,22 +400,27 @@ class BlockCodec:
         dev_full = None
         if also_device:
             dev_full = _concat_on_one_device(outs)
-        t3 = time.time()
-        host = jax.device_get(outs)
-        if timing:
-            logger.info(
-                "_run_chunked(%d items, %d chunks): build %.2fs, put "
-                "%.2fs, dispatch %.2fs, keep/concat+fetch %.2fs",
-                n, -(-n // bs), t_build, t_put, t_disp, time.time() - t3,
-            )
-        stitched = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs),
-                                          *host)
-        stitched = jax.tree_util.tree_map(lambda a: a[:n], stitched)
-        if keep_device or device_copies:
-            return stitched, dev_keep
-        if also_device:
-            return stitched, dev_full
-        return stitched
+
+        def finish():
+            t3 = time.time()
+            host = jax.device_get(outs)
+            if timing:
+                logger.info(
+                    "_run_chunked(%d items, %d chunks): build %.2fs, put "
+                    "%.2fs, dispatch %.2fs, keep/concat+fetch %.2fs",
+                    n, -(-n // bs), t_build, t_put, t_disp,
+                    time.time() - t3,
+                )
+            stitched = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs), *host)
+            stitched = jax.tree_util.tree_map(lambda a: a[:n], stitched)
+            if keep_device or device_copies:
+                return stitched, dev_keep
+            if also_device:
+                return stitched, dev_full
+            return stitched
+
+        return finish if defer else finish()
 
     def _widen_symbols(self, out, dev_keep):
         """Exact host symbols + canonical device feeds from the narrow
@@ -864,9 +873,12 @@ class BlockCodec:
         t0 = time.time()
         opt_names = [f"{m}_{d}" for d in max_deltas for m in opt_metrics]
         n_metrics = len(opt_names)
+        fin_z = None
         if self.is_v2:
-            out["y_idx"] = self._run_chunked(
-                self._decode_z, [sym_dev["z_sym"]], n
+            # dispatch only — the y_idx fetch (the biggest host transfer
+            # left) completes underneath the dec+sweep pass's compute
+            fin_z = self._run_chunked(
+                self._decode_z, [sym_dev["z_sym"]], n, defer=True
             )
         sweep_mask = self._sweep_mask_fn(opt_metrics, max_deltas,
                                          with_normals)
@@ -881,9 +893,12 @@ class BlockCodec:
         if with_normals:
             arrays2.append(dev_keep["nrm"])
         mask_keys = tuple(f"masks{m}" for m in range(n_metrics))
-        out2, mask_dev = self._run_chunked(
-            dec_sweep, arrays2, n, keep_device=mask_keys,
+        fin_sweep = self._run_chunked(
+            dec_sweep, arrays2, n, keep_device=mask_keys, defer=True,
         )
+        if fin_z is not None:
+            out["y_idx"] = fin_z()
+        out2, mask_dev = fin_sweep()
         overflow = out2.pop("overflow", None)
         if overflow is not None and np.any(overflow):
             self._rerun_overflowed(
