@@ -168,6 +168,9 @@ class BlockCodec:
         # models emit ~99% zeros; measured ≤580 nonzeros/block on the
         # bench checkpoint); denser blocks re-fetch their full rows
         self.sym_nz_budget = 2048
+        # chunk size of the full-cloud halo-metric pass (one knob so the
+        # warmup compiles the same shapes the run uses)
+        self.halo_batch = 64
         self.is_v2 = isinstance(model, CompressionModelV2)
         assert self.is_v2 or isinstance(model, CompressionModelV1)
         self.devices = list(devices) if devices else None
@@ -579,19 +582,28 @@ class BlockCodec:
                    dev_keep["pts16"]]
         if with_normals:
             sm_args.append(dev_keep["nrm"])
-        jax.block_until_ready(sweep_mask(*sm_args)["picks"])
         mid_thr = len(self.thresholds) // 2
         payload = [(self.entropy_encode(out, i), mid_thr) for i in range(2)]
-        self.decompress_blocks(payload)
-        # compile the full-cloud metric chunk (ops/cloud_metrics)
         from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import blockwise_d1_sums
 
         packed = out["packed_occ"]
         origins = np.arange(len(packed))[:, None] * np.array(
             [[self.block_size, 0, 0]]
         )
-        blockwise_d1_sums(packed, packed, origins, self.block_size,
-                          batch=64)
+        # the three remaining branches compile DISTINCT executables (the
+        # sweep kernel, the decoder path, the halo-metric kernels) — under
+        # the axon remote compiler each costs 1-3 min, so issue them from
+        # separate threads and pay the max, not the sum
+        with ThreadPoolExecutor(3) as pool:
+            futs = [
+                pool.submit(lambda: jax.block_until_ready(
+                    sweep_mask(*sm_args)["picks"])),
+                pool.submit(self.decompress_blocks, payload),
+                pool.submit(blockwise_d1_sums, packed, packed, origins,
+                            self.block_size, batch=self.halo_batch),
+            ]
+            for f in futs:
+                f.result()
 
     def encode_blocks(self, blocks):
         """Device pass: blocks → integer symbols (+ x_hat probabilities)."""
@@ -1012,7 +1024,7 @@ class BlockCodec:
 
         t0 = time.time()
         sums = blockwise_d1_sums(occ_packed, mask_packed, origins,
-                                 self.block_size, batch=64)
+                                 self.block_size, batch=self.halo_batch)
         t_sums = time.time() - t0
         if sums["n_b"] == 0:  # all blocks hit the failure guard
             return {"d1_psnr": -np.inf}
