@@ -168,9 +168,12 @@ class BlockCodec:
         # models emit ~99% zeros; measured ≤580 nonzeros/block on the
         # bench checkpoint); denser blocks re-fetch their full rows
         self.sym_nz_budget = 2048
-        # chunk size of the full-cloud halo-metric pass (one knob so the
-        # warmup compiles the same shapes the run uses)
+        # chunk size / halo width of the full-cloud halo-metric pass
+        # (single knobs so the warmup compiles the same shapes the run
+        # uses; smaller halo = cheaper banded EDTs but more host-resolved
+        # outliers)
         self.halo_batch = 64
+        self.halo_width = 12
         self.is_v2 = isinstance(model, CompressionModelV2)
         assert self.is_v2 or isinstance(model, CompressionModelV1)
         self.devices = list(devices) if devices else None
@@ -600,7 +603,8 @@ class BlockCodec:
                     sweep_mask(*sm_args)["picks"])),
                 pool.submit(self.decompress_blocks, payload),
                 pool.submit(blockwise_d1_sums, packed, packed, origins,
-                            self.block_size, batch=self.halo_batch),
+                            self.block_size, halo=self.halo_width,
+                            batch=self.halo_batch),
             ]
             for f in futs:
                 f.result()
@@ -1024,7 +1028,8 @@ class BlockCodec:
 
         t0 = time.time()
         sums = blockwise_d1_sums(occ_packed, mask_packed, origins,
-                                 self.block_size, batch=self.halo_batch)
+                                 self.block_size, halo=self.halo_width,
+                                 batch=self.halo_batch)
         t_sums = time.time() - t0
         if sums["n_b"] == 0:  # all blocks hit the failure guard
             return {"d1_psnr": -np.inf}
