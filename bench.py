@@ -184,6 +184,10 @@ def main():
         sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "auto"),
         coord_budget=4096,
     )
+    codec.halo_batch = int(os.environ.get("BENCH_HALO_BATCH",
+                                          codec.halo_batch))
+    codec.halo_width = int(os.environ.get("BENCH_HALO_WIDTH",
+                                          codec.halo_width))
     run_pipeline(codec, clouds, resolution, level, block_size, log)
 
 
