@@ -204,11 +204,13 @@ def bucket_sweep_sums(x_hat, pts, thresholds, K=20480, kc=1024, pc=512,
         pts_f, cand, kt, pt, kc=kc, pc=pc, interpret=interpret
     )
 
-    # count(t) — value comparisons, so ties match `x_hat > t` exactly;
-    # padded top-k entries have vals ≤ t0 and never count
-    cnt = jnp.sum(
-        vals[:, None, :] > thresholds[None, :, None], axis=-1
-    ).astype(jnp.int32)  # [N, T]
+    # count(t) = #vals > t via binary search on the descending values
+    # (negate → ascending; side='left' counts strictly-less entries, so
+    # ties match `x_hat > t` exactly; padded top-k entries are ≤ t0 and
+    # never count). O(T log K) per block vs O(T·K) for the broadcast sum.
+    cnt = jax.vmap(
+        lambda a: jnp.searchsorted(a, -thresholds, side="left")
+    )(-vals).astype(jnp.int32)  # [N, T]
     bacum = jnp.cumsum(jnp.where(valid_k, candmin, 0.0), axis=-1)
     idx = jnp.clip(cnt - 1, 0, K - 1)
     ab = jnp.where(cnt > 0, jnp.take_along_axis(colsum, idx, axis=1), INF)
