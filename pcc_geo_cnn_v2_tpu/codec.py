@@ -33,8 +33,10 @@ from pcc_geo_cnn_v2_tpu.models.entropy import (
 )
 from pcc_geo_cnn_v2_tpu.ops.voxel import (
     flatten_blocks,
+    pack_coords,
     pack_points,
     unflatten_points,
+    unpack_coords,
     voxelize,
 )
 from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
@@ -544,8 +546,8 @@ class BlockCodec:
         flat, offsets = flatten_blocks(sub_blocks)
         if flat_budget is None:
             flat_budget = self._flat_budget(offsets)
-        fc = np.full((flat_budget, 3), -1, np.int16)
-        fc[: len(flat)] = flat
+        fc = np.zeros(flat_budget, np.uint32)
+        fc[: len(flat)] = pack_coords(flat, self.block_size)
         offs = np.full(bs + 1, len(flat), np.int32)
         offs[: len(offsets)] = offsets
         arrays = [jnp.asarray(fc), jnp.asarray(offs)]
@@ -703,8 +705,10 @@ class BlockCodec:
 
         if point_budget is not None:
             def fn_flat(params, flat, offs, normals=None):
-                pts = unflatten_points(flat, offs, bs,
-                                       point_budget).astype(jnp.int32)
+                # flat: [flat_budget] uint32 packed coords (3x less upload
+                # than int16 triplets); unpack+unflatten on device
+                pts = unflatten_points(unpack_coords(flat, size), offs, bs,
+                                       point_budget)
                 if with_normals:
                     normals = unflatten_points(normals, offs, bs,
                                                point_budget, fill=0)
@@ -833,6 +837,7 @@ class BlockCodec:
         # flat-stream upload: only real points cross the tunnel; the
         # padded [bs, budget, 3] batch is rebuilt on device
         flat, offsets = flatten_blocks(blocks)
+        flat_u32 = pack_coords(flat, self.block_size)
         bs = self.batch_blocks
         if flat_budget is None:
             flat_budget = self._flat_budget(offsets)
@@ -842,8 +847,8 @@ class BlockCodec:
 
         def pts_chunker(lo, hi, _bs):
             f0, f1 = int(offsets[lo]), int(offsets[hi])
-            fc = np.full((flat_budget, 3), -1, np.int16)
-            fc[: f1 - f0] = flat[f0:f1]
+            fc = np.zeros(flat_budget, np.uint32)
+            fc[: f1 - f0] = flat_u32[f0:f1]
             offs = np.full(_bs + 1, f1 - f0, np.int32)
             offs[: hi - lo + 1] = offsets[lo:hi + 1] - f0
             parts = [fc, offs]

@@ -35,6 +35,27 @@ def flatten_blocks(blocks, cols=(0, 1, 2), dtype=np.int16):
     return flat, offsets
 
 
+def pack_coords(flat, size):
+    """[F, 3] block-local integer coords → [F] uint32 (host side).
+
+    Coords live in [0, size); size ≤ 1024 packs into ≤30 bits. Cuts the
+    flat-stream upload 3x vs int16 triplets (tunnel bandwidth is scarce).
+    """
+    shift = int(size - 1).bit_length()
+    f = np.asarray(flat, np.uint32)
+    return (f[:, 0] << (2 * shift)) | (f[:, 1] << shift) | f[:, 2]
+
+
+def unpack_coords(packed, size):
+    """Device-side inverse of :func:`pack_coords`: [F] uint32 → [F,3] i32."""
+    shift = int(size - 1).bit_length()
+    mask = jnp.uint32((1 << shift) - 1)
+    p = packed.astype(jnp.uint32)
+    return jnp.stack(
+        [(p >> (2 * shift)) & mask, (p >> shift) & mask, p & mask], axis=-1
+    ).astype(jnp.int32)
+
+
 def unflatten_points(flat, offs, n_blocks, budget, fill=-1):
     """Device-side inverse of :func:`flatten_blocks` for one chunk.
 

@@ -63,3 +63,17 @@ def test_ply_uchar_colors(tmp_path):
               dtypes=["f4"] * 3 + ["u1"] * 3)
     back, names = read_ply(p)
     np.testing.assert_array_equal(back, data)
+
+
+def test_pack_unpack_coords_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from pcc_geo_cnn_v2_tpu.ops.voxel import pack_coords, unpack_coords
+
+    rng = np.random.default_rng(0)
+    for size in (16, 64, 100, 1024):
+        pts = rng.integers(0, size, (500, 3))
+        u = pack_coords(pts, size)
+        assert u.dtype == np.uint32
+        back = np.asarray(unpack_coords(jnp.asarray(u), size))
+        np.testing.assert_array_equal(back, pts)
