@@ -219,8 +219,18 @@ class BlockCodec:
             mask = x_hat[..., 0] > thr[:, None, None, None]
             flat = mask.reshape(mask.shape[0], -1)
             packed = jnp.packbits(flat, axis=-1, bitorder="big")
-            count = jnp.sum(flat, axis=-1).astype(jnp.int32)
-            slot = jnp.cumsum(flat, axis=-1) - 1
+            # two-level inclusive scan: a flat cumsum over the 262k-lane
+            # row is ~18 log-doubling passes of HBM traffic; an inner
+            # scan over 512-lane tiles plus a tiny tile-offset scan does
+            # the same in ~2 passes
+            bsz, F = flat.shape
+            W = 512 if F % 512 == 0 else F
+            g = flat.reshape(bsz, F // W, W).astype(jnp.int32)
+            inner = jnp.cumsum(g, axis=-1)
+            tot = inner[..., -1]  # [bs, F/W]
+            offs = jnp.cumsum(tot, axis=-1) - tot  # exclusive tile offsets
+            count = (offs[:, -1] + tot[:, -1]).astype(jnp.int32)
+            slot = (inner + offs[..., None] - 1).reshape(bsz, F)
             slot = jnp.where(flat, slot, budget)  # pad rows drop
             positions = jnp.broadcast_to(
                 jnp.arange(flat.shape[-1], dtype=jnp.int32)[None],
