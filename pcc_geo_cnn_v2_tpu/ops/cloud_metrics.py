@@ -60,32 +60,19 @@ def neighbor_table(origins, block_size):
 
 def _assemble_halo(grids_nb, size, halo):
     """[bs, 27, B³] {0,1} neighbor grids → [bs, H, H, H] halo volumes,
-    H = B + 2·halo. Neighbor j's static sub-window pastes into a static
-    halo slice (all slicing static; absent neighbors are zero rows)."""
-    bs = grids_nb.shape[0]
-    H = size + 2 * halo
-    vol = jnp.zeros((bs, H, H, H), grids_nb.dtype)
-    g = grids_nb.reshape(bs, 27, size, size, size)
-    j = 0
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                def rng(d):
-                    # source window in the neighbor / dest window in halo
-                    if d < 0:
-                        return (size - halo, size), (0, halo)
-                    if d > 0:
-                        return (0, halo), (size + halo, H)
-                    return (0, size), (halo, size + halo)
+    H = B + 2·halo.
 
-                (sx0, sx1), (tx0, tx1) = rng(dx)
-                (sy0, sy1), (ty0, ty1) = rng(dy)
-                (sz0, sz1), (tz0, tz1) = rng(dz)
-                vol = vol.at[:, tx0:tx1, ty0:ty1, tz0:tz1].set(
-                    g[:, j, sx0:sx1, sy0:sy1, sz0:sz1]
-                )
-                j += 1
-    return vol
+    The 27-neighborhood tiles a regular 3B³ grid (entry order is
+    (dx, dy, dz) row-major, matching :func:`neighbor_table`), so one
+    transpose + reshape assembles it and a static slice crops the halo
+    window — two data passes instead of 27 dynamic-update-slices (which
+    measurably throttled large batches)."""
+    bs = grids_nb.shape[0]
+    B = size
+    g = grids_nb.reshape(bs, 3, 3, 3, B, B, B)
+    big = g.transpose(0, 1, 4, 2, 5, 3, 6).reshape(bs, 3 * B, 3 * B, 3 * B)
+    lo, hi = B - halo, 2 * B + halo
+    return big[:, lo:hi, lo:hi, lo:hi]
 
 
 @functools.partial(jax.jit, static_argnames=("size", "halo"))
