@@ -609,10 +609,26 @@ class BlockCodec:
         # sweep kernel, the decoder path, the halo-metric kernels) — under
         # the axon remote compiler each costs 1-3 min, so issue them from
         # separate threads and pay the max, not the sum
+        def warm_sweep():
+            try:
+                jax.block_until_ready(sweep_mask(*sm_args)["picks"])
+            except Exception:
+                # a new kernel backend that fails to compile on this
+                # hardware must not take the whole encoder down — demote
+                # to the proven EDT backend and warm that instead
+                if self.sweep_backend != "bucket":
+                    raise
+                logger.exception("bucket sweep backend failed; falling "
+                                 "back to the pallas EDT backend")
+                self.sweep_backend = "pallas"
+                self._sweep_mask_cache.clear()
+                fb = self._sweep_mask_fn(opt_metrics, max_deltas,
+                                         with_normals)
+                jax.block_until_ready(fb(*sm_args)["picks"])
+
         with ThreadPoolExecutor(3) as pool:
             futs = [
-                pool.submit(lambda: jax.block_until_ready(
-                    sweep_mask(*sm_args)["picks"])),
+                pool.submit(warm_sweep),
                 pool.submit(self.decompress_blocks, payload),
                 pool.submit(blockwise_d1_sums, packed, packed, origins,
                             self.block_size, halo=self.halo_width,
