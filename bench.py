@@ -69,10 +69,29 @@ def main():
         jax.config.update("jax_platforms", "cpu")  # axon ignores env var
     log("devices:", jax.devices())
 
-    # warm the device<->host tunnel before timing anything
-    t0 = time.time()
-    np.asarray(jnp.zeros((8,)))
-    log(f"tunnel warmup {time.time()-t0:.0f}s")
+    # warm the device<->host tunnel before timing anything; the cloud
+    # build is pure host work, so it runs underneath the (minutes-long
+    # on a cold axon link) first fetch
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _build_clouds():
+        if N_DEVICES:
+            return None
+        from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
+        from pcc_geo_cnn_v2_tpu.utils.scansim import figure_cloud
+
+        out = []
+        for seed in range(300, 308):
+            pts = figure_cloud(seed, 1024, with_normals=False)
+            out.append((pts,) + tuple(partition_octree(
+                pts, [0, 0, 0], [1024] * 3, 4)))
+        return out
+
+    with _TPE(1) as _pool:
+        _clouds_fut = _pool.submit(_build_clouds)
+        t0 = time.time()
+        np.asarray(jnp.zeros((8,)))
+        log(f"tunnel warmup {time.time()-t0:.0f}s")
 
     if N_DEVICES:
         # CPU-mesh mode: smaller cloud, 32³ blocks (correctness of the
@@ -95,15 +114,8 @@ def main():
         # geometry. Round-1 benched a surface-patch cloud whose
         # checkpoint operated at 3.6 bpp — VERDICT r1 flagged exactly
         # this mismatch.
-        from pcc_geo_cnn_v2_tpu.utils.scansim import figure_cloud
-
         resolution, level, block_size = 1024, 4, 64
-        clouds = []
-        for seed in range(300, 308):
-            pts = figure_cloud(seed, resolution, with_normals=False)
-            blocks, binstr = partition_octree(pts, [0, 0, 0],
-                                              [resolution] * 3, level)
-            clouds.append((pts, blocks, binstr))
+        clouds = _clouds_fut.result()
         log(f"{len(clouds)} clouds, "
             f"{sum(len(c[0]) for c in clouds)} points -> "
             f"{sum(len(c[1]) for c in clouds)} blocks of {block_size}^3")
