@@ -41,7 +41,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 # not wall-clock scaling. Must configure env BEFORE the first jax import.
 N_DEVICES = 0
 if "--devices" in sys.argv:
-    N_DEVICES = int(sys.argv[sys.argv.index("--devices") + 1])
+    _idx = sys.argv.index("--devices")
+    if _idx + 1 >= len(sys.argv) or not sys.argv[_idx + 1].isdigit():
+        sys.exit("usage: bench.py [--devices N]  (N must be an integer)")
+    N_DEVICES = int(sys.argv[_idx + 1])
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (

@@ -555,7 +555,13 @@ class BlockCodec:
         sub_blocks = blocks[:bs]
         flat, offsets = flatten_blocks(sub_blocks)
         if flat_budget is None:
-            flat_budget = self._flat_budget(offsets)
+            # derive from ALL blocks (not just the warmup chunk) so a
+            # later chunk with a larger point total reuses the warmed
+            # executable instead of forcing a mid-run recompile — this
+            # mirrors compress_blocks_device_opt's own derivation
+            full_offs = np.zeros(len(blocks) + 1, np.int64)
+            np.cumsum([len(b) for b in blocks], out=full_offs[1:])
+            flat_budget = self._flat_budget(full_offs)
         fc = np.zeros(flat_budget, np.uint32)
         fc[: len(flat)] = pack_coords(flat, self.block_size)
         offs = np.full(bs + 1, len(flat), np.int32)
@@ -572,9 +578,9 @@ class BlockCodec:
         )
         # same widen step as the real run (full-width copies stay on
         # device; only int8 + counts cross the tunnel), so warmup encodes
-        # correct symbols even for |sym| > 127 blocks. Note: only the
-        # dtype actually present in the warmup data gets its decoder
-        # executables compiled — a wider cloud later pays a fresh compile.
+        # correct symbols even for |sym| > 127 blocks. The int16 decoder
+        # executables are warmed explicitly below (warm_wide_dec) even
+        # when this chunk is int8-only.
         dev_only = ("pts16", "nrm")
         dev_keep = {k: out[k] for k in list(out)
                     if k.endswith("_full") or k in ("y_sym", "z_sym")
@@ -609,13 +615,40 @@ class BlockCodec:
         # sweep kernel, the decoder path, the halo-metric kernels) — under
         # the axon remote compiler each costs 1-3 min, so issue them from
         # separate threads and pay the max, not the sum
+        gate_bucket = self.sweep_backend == "bucket" and not with_normals
+        exact_fut = None
+
         def warm_sweep():
             try:
-                jax.block_until_ready(sweep_mask(*sm_args)["picks"])
+                res = sweep_mask(*sm_args)
+                picks = np.asarray(jax.device_get(res["picks"]))
+                if gate_bucket:
+                    # on-device numerical parity gate: a Mosaic compile
+                    # that *succeeds but diverges* from interpret-mode
+                    # semantics would silently degrade every threshold
+                    # pick — compare against the exact XLA backend on the
+                    # warmup chunk before adopting the bucket backend.
+                    # (The exact executable is the overflow fallback, so
+                    # warming it here kills a mid-run compile hazard
+                    # too.) Adjacent-index differences are f32 near-ties,
+                    # not miscompiles.
+                    ref = exact_fut.result()
+                    valid = ~np.asarray(
+                        jax.device_get(res["overflow"])).astype(bool)
+                    delta = np.abs(picks[valid].astype(np.int64)
+                                   - ref[valid].astype(np.int64))
+                    if delta.size and (delta.max() > 1
+                                       or (delta > 0).mean() > 0.25):
+                        raise RuntimeError(
+                            f"bucket sweep picks diverge from exact XLA "
+                            f"backend on device (max|Δidx|={delta.max()}, "
+                            f"{(delta > 0).mean():.0%} blocks differ)"
+                        )
             except Exception:
-                # a new kernel backend that fails to compile on this
-                # hardware must not take the whole encoder down — demote
-                # to the proven EDT backend and warm that instead
+                # a new kernel backend that fails to compile (or fails
+                # the parity gate) on this hardware must not take the
+                # whole encoder down — demote to the proven EDT backend
+                # and warm that instead
                 if self.sweep_backend != "bucket":
                     raise
                 logger.exception("bucket sweep backend failed; falling "
@@ -626,10 +659,32 @@ class BlockCodec:
                                          with_normals)
                 jax.block_until_ready(fb(*sm_args)["picks"])
 
-        with ThreadPoolExecutor(3) as pool:
+        def warm_wide_dec():
+            # decoder executables are symbol-dtype-keyed; an int16-wide
+            # cloud arriving after an int8-only warmup chunk would pay an
+            # unwarmed 1-3 min remote compile mid-encode. Warm the int16
+            # dense path explicitly (int32 is the divergent-model escape
+            # hatch and stays lazy).
+            y16 = jnp.zeros((bs,) + tuple(self.y_shape), jnp.int16)
+            thr_c = jnp.zeros((bs,), jnp.float32)
+            outs = self._mask_pack_coords(
+                self._dec_fn(self.params, y16), thr_c)
+            jax.block_until_ready(outs["pos"])
+            if self.is_v2:
+                jax.block_until_ready(self._decode_z(
+                    self.params,
+                    jnp.zeros((bs,) + tuple(self.z_shape), jnp.int16)))
+
+        with ThreadPoolExecutor(5) as pool:
+            if gate_bucket:
+                exact = self._sweep_mask_fn(opt_metrics, max_deltas,
+                                            with_normals, backend="xla")
+                exact_fut = pool.submit(lambda: np.asarray(
+                    jax.device_get(exact(*sm_args)["picks"])))
             futs = [
                 pool.submit(warm_sweep),
                 pool.submit(self.decompress_blocks, payload),
+                pool.submit(warm_wide_dec),
                 pool.submit(blockwise_d1_sums, packed, packed, origins,
                             self.block_size, halo=self.halo_width,
                             batch=self.halo_batch),

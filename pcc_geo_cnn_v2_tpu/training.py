@@ -364,6 +364,17 @@ class Trainer:
         dispatch per ``gcd(log_every, val_every)`` steps and no per-step
         host→device traffic. Single-device (use :meth:`fit` for a mesh).
 
+        INTENTIONAL PROTOCOL CHANGE vs the reference feed loop (and vs
+        :meth:`fit`): batches are sampled i.i.d. WITH replacement
+        (``jax.random.randint`` inside the scan) instead of
+        shuffled-epoch sweeps — epoch boundaries can't exist inside one
+        compiled scan segment without rebuilding the executable per
+        epoch length. At the reference's scale (tens of thousands of
+        blocks, 100k steps) the visit-count difference is statistically
+        negligible; on very small datasets blocks may be over/under
+        sampled per epoch-equivalent. Runs are therefore not
+        step-for-step comparable with :meth:`fit` — see PARITY.md.
+
         :param train_ds / val_ds: ``utils.data.BlockDataset``.
         """
         import math
