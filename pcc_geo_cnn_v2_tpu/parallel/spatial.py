@@ -26,7 +26,8 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["conv3d_spatial_sharded", "encode_syms_spatial"]
+__all__ = ["conv3d_spatial_sharded", "conv3d_transpose_spatial_sharded",
+           "encode_syms_spatial", "decode_y_spatial"]
 
 
 def _halo_exchange(x, halo_lo, halo_hi, axis_name):
@@ -106,6 +107,68 @@ def conv3d_spatial_sharded(mesh: Mesh, x, kernel, stride=1, axis="sp"):
     return fn(x, kernel)
 
 
+def _conv_transpose_padding(k, s):
+    """lax.conv_transpose's SAME padding pair for one dimension."""
+    pad_len = k + s - 2
+    pad_a = k - 1 if s > k - 1 else -(-pad_len // 2)
+    return pad_a, pad_len - pad_a
+
+
+def conv3d_transpose_spatial_sharded(mesh: Mesh, x, kernel, stride=1,
+                                     axis="sp"):
+    """SAME-padded transposed 3D conv, D axis sharded over ``axis``.
+
+    Matches ``lax.conv_transpose(x, kernel, (s,s,s), padding='SAME')``
+    (= flax ``nn.ConvTranspose``) on the unsharded array, asserted in
+    tests. Implementation: each shard extends its local input with
+    neighbour halo samples (input space), then runs the fractionally
+    strided conv (``lhs_dilation``) with edge padding chosen so its
+    output is exactly the shard's slice of the global output.
+
+    :param x: [N, D, H, W, C]; D divisible by mesh[axis].
+    :param kernel: [kd, kh, kw, Cin, Cout]; output depth = D·stride.
+    """
+    kd, kh, kw = kernel.shape[:3]
+    s = stride
+    n_dev = mesh.shape[axis]
+    D = x.shape[1]
+    assert D % n_dev == 0
+    d_local = D // n_dev
+    pad_a, _pad_b = _conv_transpose_padding(kd, s)
+    # input-space halo widths: the first local output's window reaches
+    # floor(pad_a/s) samples into the previous shard; the last one
+    # reaches floor((k-2-pad_a)/s)+1 into the next (see derivation in
+    # tests/test_spatial_sharding.py)
+    halo_lo = pad_a // s
+    halo_hi = max((kd - 2 - pad_a) // s + 1, 0)
+    assert max(halo_lo, halo_hi) <= d_local, "halo exceeds shard depth"
+    # dilated-space edge zeros completing the local windows
+    extra_lo = pad_a - halo_lo * s
+    extra_hi = ((d_local + halo_lo) * s - pad_a + kd - 2
+                - (halo_lo + d_local + halo_hi - 1) * s)
+    pad_h = _conv_transpose_padding(kh, s)
+    pad_w = _conv_transpose_padding(kw, s)
+
+    def local(x_l, k):
+        padded = _halo_exchange(x_l, halo_lo, halo_hi, axis)
+        dn = jax.lax.conv_dimension_numbers(
+            padded.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            padded, k, (1, 1, 1),
+            [(extra_lo, extra_hi), pad_h, pad_w],
+            lhs_dilation=(s, s, s),
+            dimension_numbers=dn,
+        )
+
+    spec_x = P(None, axis, None, None, None)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_x, P()),
+        out_specs=spec_x,
+    )
+    return fn(x, kernel)
+
+
 def encode_syms_spatial(model, params, x, mesh, axis="sp"):
     """``encode_syms`` on an oversized block, depth-sharded over ``axis``.
 
@@ -163,3 +226,56 @@ def encode_syms_spatial(model, params, x, mesh, axis="sp"):
         "y_sym": jnp.round(y).astype(jnp.int32),
         "z_sym": jnp.round(z - medians).astype(jnp.int32),
     }
+
+
+def decode_y_spatial(model, params, y_sym, mesh, axis="sp"):
+    """``decode_y`` (v2) / ``decode`` (v1) on an oversized block, D-sharded.
+
+    The synthesis counterpart of :func:`encode_syms_spatial`, completing
+    the oversized-block round-trip: every transposed conv of the
+    synthesis stack runs as a halo-exchanged sharded deconv, so the
+    activations never materialize unsharded. Bit-exactness contract:
+    encoder and decoder both run THIS executable on the same symbols, so
+    their x_hat (and any threshold mask over it) agree bit-for-bit —
+    the same decoder-canonical argument the block codec uses
+    (``codec.py``); symbols/x_hat may differ from the *unsharded*
+    executable only in conv accumulation order (rate/metric effect, no
+    correctness effect).
+
+    :param y_sym: [N, D/8, H/8, W/8, C] int32 symbols.
+    :return: x_hat [N, D, H, W, 1] float32 in [0, 1].
+    """
+    p = params["params"]
+
+    def deconv(h, lp, stride=1, act=True):
+        h = conv3d_transpose_spatial_sharded(
+            mesh, h, jnp.asarray(lp["kernel"]), stride=stride, axis=axis)
+        if "bias" in lp:
+            h = h + jnp.asarray(lp["bias"])
+        return jax.nn.relu(h) if act else h
+
+    if getattr(model, "hyper_analysis", None) is None:  # v1: + medians
+        quantiles = p["entropy_bottleneck"]["quantiles"]
+        y_hat = y_sym.astype(jnp.float32) + jnp.asarray(quantiles)[:, 1]
+    else:  # v2 GaussianConditional: identity dequantization
+        y_hat = y_sym.astype(jnp.float32)
+
+    sy = p["synthesis_t"]
+    sname = model.synthesis
+    if sname == "SynthesisTransformV1":
+        x = deconv(y_hat, sy["ConvTranspose_0"], 2)
+        x = deconv(x, sy["ConvTranspose_1"], 2)
+        x = deconv(x, sy["ConvTranspose_2"], 2)  # ReLU final (ref :51-59)
+    elif sname in ("SynthesisTransformV2",
+                   "SynthesisTransformProgressiveV2"):
+        x = y_hat
+        for b in range(3):
+            bp = sy[f"SynthesisBlock_{b}"]
+            h = deconv(x, bp["ConvTranspose_0"], 2)
+            t = deconv(h, bp["ConvTranspose_1"])
+            t = deconv(t, bp["ConvTranspose_2"])
+            x = h + t
+        x = deconv(x, sy["ConvTranspose_0"])  # 1-channel ReLU deconv
+    else:  # pragma: no cover - configs only use the stacks above
+        raise NotImplementedError(sname)
+    return jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
