@@ -157,14 +157,24 @@ def main(argv=None):
             "bpp": size * 8 / n_points,
             **metrics,
         }
-        # cross-check vs encoder-side estimate (<0.01 dB, reference :158-162)
+        # cross-check vs encoder-side estimate (reference :158-162 asserts
+        # D1 < 0.01 dB). D1 is deterministic (same squared distances both
+        # sides). D2 depends on WHICH nearest neighbor supplies the
+        # normal: the device metric (banded argmin EDT) and the host
+        # KD-tree may break exact-distance ties differently — the
+        # reference documents the same deviation class vs pc_error
+        # (``pc_metric.py:114``) — so d2 gets an empirically bounded
+        # tolerance (measured 0.07-0.12 dB at full-cloud scale on the
+        # held-out clouds, tests/test_d2_metrics.py::test_full_cloud_*;
+        # asserted at 0.3 dB for slack on adversarial content).
         enc_metric = json.loads(
             Path(str(bin_f) + ".enc.metric.json").read_text()
         )
         key = f"{g}_psnr"
-        if key in enc_metric and key in metrics and not args.pc_error:
+        tol = {"d1": 0.01, "d2": 0.3}.get(g)
+        if tol and key in enc_metric and key in metrics and not args.pc_error:
             diff = abs(enc_metric[key] - metrics[key])
-            assert diff < 0.01, (
+            assert diff < tol, (
                 f"enc-side {key} {enc_metric[key]} vs report {metrics[key]}"
             )
         report_path.write_text(json.dumps(report, sort_keys=True, indent=4))

@@ -197,6 +197,8 @@ int64_t pcc_rc_decode(const uint8_t* in, int64_t in_len,
   return 0;
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Context-adaptive binary range coder (for the builtin octree anchor).
 //

@@ -22,6 +22,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeat test runs skip XLA:CPU re-compiles
+# (hundreds of small executables — roughly halves suite wall time)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sys
 from pathlib import Path

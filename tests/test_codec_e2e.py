@@ -121,6 +121,7 @@ def test_fixed_threshold_path():
     assert all(t == 128 for _, t in data_list[0])
 
 
+@pytest.mark.slow
 def test_device_opt_path_matches_host_path():
     """compress_blocks_device_opt must produce identical bitstream payloads
     and selections to the exact host threshold path."""
@@ -155,6 +156,7 @@ def test_device_opt_path_matches_host_path():
             )
 
 
+@pytest.mark.slow
 def test_multi_device_codec_matches_single():
     """Chunks round-robined over the 8-device CPU mesh must produce the
     same bitstreams and decodes as single-device."""
@@ -179,6 +181,7 @@ def test_multi_device_codec_matches_single():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_device_opt_with_normals_d2():
     """Device path with d1+d2 metrics and normals: two output groups, d1
     payload identical to host path; decode roundtrips both."""
@@ -269,6 +272,7 @@ def test_wide_symbol_escape_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_set_params_matches_fresh_codec():
     """Swapping weights on a live codec (λ-sweep reuse, tools/rd_eval.py)
     must produce the same bitstream as a freshly constructed codec."""
@@ -294,6 +298,7 @@ def test_set_params_matches_fresh_codec():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_bucket_backend_matches_xla_and_overflow_fallback():
     """sweep_backend='bucket' (the TPU default) must emit identical
     payloads/selections to the exact XLA backend; with a tiny candidate
@@ -326,6 +331,7 @@ def test_bucket_backend_matches_xla_and_overflow_fallback():
             np.testing.assert_array_equal(np.asarray(ob), np.asarray(rb))
 
 
+@pytest.mark.slow
 def test_over_coord_budget_mask_fallback():
     """Blocks denser than coord_budget decode via fetched mask rows; the
     batched unpack must match the compact-position path exactly."""

@@ -16,6 +16,7 @@ import pytest
 from tests.conftest import REPO_ROOT
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_survives_axon_env():
     env = dict(os.environ)
     # hostile env: axon TPU plugin nominally active, no CPU forcing

@@ -103,6 +103,7 @@ def test_sharded_deconv_matches_unsharded(kd, stride):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spatial_roundtrip_oversized_block():
     """128³ block encode→rANS bytes→decode over the 8-device mesh: the
     decoder's thresholded mask equals the encoder's bit-for-bit (both

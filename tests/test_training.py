@@ -52,6 +52,7 @@ def test_loss_decreases_and_aux_works():
     assert not np.allclose(q0, q1)
 
 
+@pytest.mark.slow
 def test_trainer_protocol_and_resume(tmp_path):
     model = build_model(TINY)
     ds = _data()
@@ -76,6 +77,7 @@ def test_trainer_protocol_and_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(p_src), np.asarray(p_dst))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_over_mesh():
     assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
     mesh = make_mesh(8)

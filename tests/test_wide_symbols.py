@@ -12,6 +12,7 @@ reconstruct exact symbols at int8/int16/int32, matching the decoder's
 import types
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,7 @@ def test_wide_symbols_entropy_roundtrip():
     np.testing.assert_array_equal(dec, sym)
 
 
+@pytest.mark.slow
 def test_sparse_symbol_budget_overflow_refetch():
     """Blocks with more nonzero y symbols than sym_nz_budget must rebuild
     from the device-retained full rows and still roundtrip bit-exact."""

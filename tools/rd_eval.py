@@ -60,8 +60,19 @@ def reference_curves(metric="d1_psnr", labels=("c3", "c4")):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("model_root", nargs="?", default="models/rd/c3p-a0.75")
-    ap.add_argument("--out", default="results/rd_c3p_a075.json")
+    ap.add_argument("model_root", nargs="?", default=None,
+                    help="default: models/rd/<config>[-a<alpha>]")
+    ap.add_argument("--config", default="c3p",
+                    choices=["c1", "c2", "c3", "c3p"])
+    ap.add_argument("--run_id", default=None,
+                    help="run dir name under models/rd/ (default "
+                         "c3p-a0.75 for c3p, else <config>)")
+    ap.add_argument("--out", default=None,
+                    help="default: results/rd_<run_id>.json")
+    ap.add_argument("--fixed_threshold", action="store_true",
+                    help="encode with the reference's fixed mid-threshold "
+                         "path (its c1..c4 eval protocol) instead of the "
+                         "adaptive device sweep; metrics via host oracle")
     ap.add_argument("--batch_blocks", type=int, default=64)
     ap.add_argument("--resolution", type=int, default=RESOLUTION)
     ap.add_argument("--level", type=int, default=LEVEL)
@@ -71,6 +82,16 @@ def main():
                     "reusing the learned points already in --out (pure "
                     "host work: safe to run on CPU without checkpoints)")
     args = ap.parse_args()
+    if args.run_id is None:
+        args.run_id = "c3p-a0.75" if args.config == "c3p" else args.config
+    if args.model_root is None:
+        args.model_root = f"models/rd/{args.run_id}"
+    if args.out is None:
+        args.out = ("results/rd_c3p_a075.json" if args.run_id == "c3p-a0.75"
+                    and not args.fixed_threshold else
+                    "results/rd_" + args.run_id.replace("-", "_").replace(
+                        ".", "") + ("_fixedthr" if args.fixed_threshold
+                                    else "") + ".json")
     resolution, level = args.resolution, args.level
     if args.anchor_only:
         import os
@@ -103,7 +124,7 @@ def main():
         run_dirs = sorted(Path(args.model_root).glob("*e-*"),
                           key=lambda p: float(p.name))
         assert run_dirs, f"no λ checkpoints under {args.model_root}"
-        model = build_model("c3p")
+        model = build_model(args.config)
         results = []
     codec = None
     for run_dir in run_dirs:
@@ -119,13 +140,30 @@ def main():
             codec.set_params(params)
         for name, (pts, blocks, binstr) in clouds.items():
             t0 = time.time()
-            data_list, meta = codec.compress_blocks_device_opt(
-                blocks, binstr, pts, resolution, level)
+            if args.fixed_threshold:
+                from pcc_geo_cnn_v2_tpu.utils.metrics import (
+                    compute_metrics as _cm,
+                )
+                from pcc_geo_cnn_v2_tpu.utils.octree import (
+                    departition_octree,
+                )
+
+                data_list, _ = codec.compress_blocks(
+                    blocks, binstr, pts, resolution, level,
+                    fixed_threshold=True)
+                dec_blocks = codec.decompress_blocks(data_list[0])
+                dec = np.vstack(departition_octree(
+                    dec_blocks, binstr, [0, 0, 0], [resolution] * 3,
+                    level))
+                psnr = _cm(pts[:, :3], dec, resolution - 1)["d1_psnr"]
+            else:
+                data_list, meta = codec.compress_blocks_device_opt(
+                    blocks, binstr, pts, resolution, level)
+                psnr = meta[0]["metrics"]["d1_psnr"]
             raw = gzip.compress(
                 save_compressed_file(binstr, data_list[0], resolution,
                                      level))
             bpp = len(raw) * 8 / len(pts)
-            psnr = meta[0]["metrics"]["d1_psnr"]
             results.append({"lmbda": lmbda, "pc_name": name, "bpp": bpp,
                             "d1_psnr": psnr})
             print(f"λ={lmbda:g} {name}: {bpp:.3f} bpp @ {psnr:.2f} dB "

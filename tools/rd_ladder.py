@@ -1,0 +1,95 @@
+"""Config-ladder report: within-repo BD deltas vs the published ordering.
+
+The reference's headline ablation (BASELINE.md, computed from
+``/root/reference/data.csv``) is the BD-PSNR ladder vs the G-PCC trisoup
+anchor on 4 MPEG clouds: c1 −0.72 → c2 −0.25 → c3 +1.79 → c4 +3.71 dB
+(labels: c3=config c3p α0.9, c4=c3p α0.75). No MPEG cloud can be mounted
+here, so the content-independent parity check is the *config-to-config
+deltas*: each rung's BD-PSNR vs the SAME builtin octree anchor on the
+same 4 held-out synthetic clouds, then successive differences next to
+the published ones.
+
+Inputs: ``results/rd_<run_id>.json`` files produced by ``tools/rd_eval.py``
+for run_ids c1, c2, c3p (α0.9) and c3p-a0.75 (any subset works).
+Output: ``results/config_ladder.json`` + a printed table.
+
+Usage: python tools/rd_ladder.py
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+# ladder rung -> (results file, published BD-PSNR vs trisoup, paper label)
+RUNGS = [
+    ("c1", "results/rd_c1.json", -0.72),
+    ("c2", "results/rd_c2.json", -0.25),
+    ("c3p-a0.9", "results/rd_c3p_a09.json", 1.79),
+    ("c3p-a0.75", "results/rd_c3p_a075.json", 3.71),
+]
+
+
+def main():
+    from pcc_geo_cnn_v2_tpu.utils.bd import bdsnr
+
+    # the anchor curve shared by every rung (flagship artifact carries it)
+    flagship = json.loads(Path("results/rd_c3p_a075.json").read_text())
+    anchor = [tuple(p) for p in flagship["anchor_avg_curve"]]
+
+    rows = []
+    for run_id, path, published in RUNGS:
+        p = Path(path)
+        if not p.exists():
+            rows.append({"run_id": run_id, "status": "missing",
+                         "published_bd_psnr_vs_trisoup": published})
+            continue
+        rep = json.loads(p.read_text())
+        ours = [tuple(q) for q in rep["avg_curve"]]
+        try:
+            bd = float(bdsnr(anchor, ours))
+        except Exception as e:  # noqa: BLE001 - disjoint ranges etc.
+            bd = f"n/a ({e})"
+        rows.append({"run_id": run_id,
+                     "bd_psnr_vs_builtin_anchor": bd,
+                     "published_bd_psnr_vs_trisoup": published})
+
+    # successive deltas (the content-independent check)
+    for i in range(1, len(rows)):
+        a, b = rows[i - 1], rows[i]
+        if isinstance(a.get("bd_psnr_vs_builtin_anchor"), float) and \
+                isinstance(b.get("bd_psnr_vs_builtin_anchor"), float):
+            b["delta_db"] = round(b["bd_psnr_vs_builtin_anchor"]
+                                  - a["bd_psnr_vs_builtin_anchor"], 3)
+        b["published_delta_db"] = round(
+            b["published_bd_psnr_vs_trisoup"]
+            - a["published_bd_psnr_vs_trisoup"], 3)
+
+    report = {
+        "note": "within-repo config ladder on 4 held-out synthetic clouds "
+                "vs the builtin CABAC octree anchor; 'published' column = "
+                "reference data.csv BD-PSNR vs G-PCC trisoup on 4 MPEG "
+                "clouds (BASELINE.md). The parity check is the ORDERING "
+                "and the successive deltas, not absolute values "
+                "(different content, different anchor).",
+        "rows": rows,
+    }
+    out = Path("results/config_ladder.json")
+    out.write_text(json.dumps(report, indent=2))
+    w = max(len(r["run_id"]) for r in rows)
+    print(f"{'rung':<{w}}  {'BD vs anchor':>12}  {'Δ':>7}  "
+          f"{'published Δ':>11}")
+    for r in rows:
+        bd = r.get("bd_psnr_vs_builtin_anchor", "missing")
+        bd = f"{bd:.2f}" if isinstance(bd, float) else str(bd)[:12]
+        d = r.get("delta_db", "")
+        pd = r.get("published_delta_db", "")
+        print(f"{r['run_id']:<{w}}  {bd:>12}  {str(d):>7}  {str(pd):>11}")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

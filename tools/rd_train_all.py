@@ -1,11 +1,19 @@
-"""Train the c3p-a0.75 λ sweep for the RD-parity artifact.
+"""Train a (config, α) λ sweep for the RD-parity artifacts.
 
-Reference protocol (``/root/reference/src/ev_experiment.yml:13`` λ grid,
-``tr_train_all.py:57-61`` warm-seq chaining, α=0.75 per the c4 config):
-a base model at the highest λ, then each lower λ warm-started from the
-previous one. Checkpoints land in ``<out>/c3p-a0.75/<λtag>/ckpt_<step>``
-(orbax, same layout the CLIs' ``load_params`` consumes) with ``done``
-markers, so ``ev_experiment``/``ev_compare`` can run on top.
+Reference protocol (``/root/reference/src/ev_experiment.yml:10-46`` sweep
+matrix and λ grids, ``tr_train_all.py:57-61`` warm-seq chaining): a base
+model at the highest λ, then each lower λ warm-started from the previous
+one (the reference's 'c4-ws' protocol; its c1..c5 train each λ
+independently for 100k steps — warm-seq is this tool's compute-saving
+default, documented in results). Checkpoints land in
+``<out>/<config>[-a<α>]/<λtag>/ckpt_<step>`` (orbax, the layout the
+CLIs' ``load_params`` consumes) with ``done`` markers, so
+``ev_experiment``/``ev_compare``/``tools/rd_eval.py`` run on top.
+
+``--config c1|c2|c3|c3p`` + ``--alpha`` select the ladder rung
+(reference λ grids per config are the defaults), so the published config
+ordering (BASELINE.md: c1 → c2 → c3p → c3p-a0.75) can be reproduced as
+within-repo BD deltas on identical content.
 
 TPU-first throughput: the whole block dataset lives on device as one int8
 array; each jitted call runs K training steps via ``lax.scan`` with
@@ -38,9 +46,14 @@ from pcc_geo_cnn_v2_tpu.training import (
 )
 from pcc_geo_cnn_v2_tpu.ops.voxel import pack_points
 
-# reference sweep, high→low rate (warm-seq chains down the curve)
-LAMBDAS = [3e-4, 1e-4, 5e-5, 2e-5, 1e-5]
-ALPHA = 0.75
+# reference λ grids, high→low rate (warm-seq chains down the curve);
+# ev_experiment.yml:13,41-46
+LAMBDAS = {
+    "c1": [2e-4, 1e-4, 5e-5, 1e-5, 5e-6],
+    "c2": [2e-4, 1e-4, 5e-5, 1e-5, 5e-6],
+    "c3": [3e-4, 1e-4, 5e-5, 2e-5],
+    "c3p": [3e-4, 1e-4, 5e-5, 2e-5, 1e-5],
+}
 TRAIN_SEEDS = range(24)
 VAL_SEEDS = range(100, 102)
 BUDGET = 8192
@@ -106,6 +119,12 @@ def restore_ckpt(run_dir, state):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir", nargs="?", default="models/rd")
+    ap.add_argument("--config", default="c3p",
+                    choices=["c1", "c2", "c3", "c3p"])
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="focal-loss alpha; default 0.75 for c3p (the "
+                         "flagship continuation) and the reference's "
+                         "global 0.9 for c1/c2/c3")
     ap.add_argument("--base_steps", type=int, default=30_000)
     ap.add_argument("--ft_steps", type=int, default=10_000)
     ap.add_argument("--batch_size", type=int, default=32)
@@ -126,13 +145,17 @@ def main():
     data = jnp.asarray(train_np)  # device-resident, int8
     val_data = jnp.asarray(val_np)
 
-    model = build_model("c3p")
+    if args.alpha is None:
+        args.alpha = 0.75 if args.config == "c3p" else 0.9
+    model = build_model(args.config)
+    run_id = (args.config if args.alpha == 0.9
+              else f"{args.config}-a{args.alpha:g}")
     prev_state = None
-    lambdas = args.lambdas or LAMBDAS
+    lambdas = args.lambdas or LAMBDAS[args.config]
     for li, lmbda in enumerate(lambdas):
         cfg = TrainConfig(block_size=64, batch_size=args.batch_size,
-                          lmbda=lmbda, alpha=ALPHA)
-        run_dir = Path(args.out_dir) / "c3p-a0.75" / lmbda_tag(lmbda)
+                          lmbda=lmbda, alpha=args.alpha)
+        run_dir = Path(args.out_dir) / run_id / lmbda_tag(lmbda)
         run_dir.mkdir(parents=True, exist_ok=True)
         resumed = 0
         if (run_dir / "done").exists():
