@@ -55,7 +55,23 @@ def _get_lib():
             ):
                 _build_native()
             lib = ctypes.CDLL(str(_SO_PATH))
-        except (OSError, subprocess.CalledProcessError):
+        except subprocess.CalledProcessError as e:
+            # fall back to the (orders-of-magnitude slower) Python twins,
+            # but LOUDLY — a silent fallback once masked a broken build
+            import logging
+
+            logging.getLogger(__name__).error(
+                "native range coder failed to BUILD, falling back to the "
+                "pure-Python twins (slow!):\n%s",
+                (e.stderr or b"").decode(errors="replace")[-2000:],
+            )
+            return None
+        except OSError as e:
+            import logging
+
+            logging.getLogger(__name__).error(
+                "native range coder failed to load (%s); pure-Python "
+                "twins in use (slow!)", e)
             return None
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

@@ -2,15 +2,18 @@
 
 The reference's headline ablation (BASELINE.md, computed from
 ``/root/reference/data.csv``) is the BD-PSNR ladder vs the G-PCC trisoup
-anchor on 4 MPEG clouds: c1 −0.72 → c2 −0.25 → c3 +1.79 → c4 +3.71 dB
-(labels: c3=config c3p α0.9, c4=c3p α0.75). No MPEG cloud can be mounted
-here, so the content-independent parity check is the *config-to-config
-deltas*: each rung's BD-PSNR vs the SAME builtin octree anchor on the
-same 4 held-out synthetic clouds, then successive differences next to
-the published ones.
+anchor on 4 MPEG clouds: c1 −0.72 → c2 −0.25 → c3 +1.79 → c4 +3.71 →
+c5 +5.39 dB. Label↔protocol map (``ev_experiment.yml:10-46``): c1/c2 =
+configs c1/c2, c3 = config c3p α0.9, c4 = c3p α0.75 — all evaluated with
+the FIXED mid-threshold (the yml's global ``fixed_threshold: True``);
+c5 = the c4 checkpoints with the ADAPTIVE threshold sweep. No MPEG cloud
+can be mounted here, so the content-independent parity check is the
+*config-to-config deltas*: each rung's BD-PSNR vs the SAME builtin
+octree anchor on the same 4 held-out synthetic clouds, then successive
+differences next to the published ones.
 
-Inputs: ``results/rd_<run_id>.json`` files produced by ``tools/rd_eval.py``
-for run_ids c1, c2, c3p (α0.9) and c3p-a0.75 (any subset works).
+Inputs: ``results/rd_<run_id>[_fixedthr].json`` files produced by
+``tools/rd_eval.py`` (any subset works).
 Output: ``results/config_ladder.json`` + a printed table.
 
 Usage: python tools/rd_ladder.py
@@ -24,12 +27,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-# ladder rung -> (results file, published BD-PSNR vs trisoup, paper label)
+# ladder rung -> (results file, published BD-PSNR vs trisoup)
 RUNGS = [
-    ("c1", "results/rd_c1.json", -0.72),
-    ("c2", "results/rd_c2.json", -0.25),
-    ("c3p-a0.9", "results/rd_c3p_a09.json", 1.79),
-    ("c3p-a0.75", "results/rd_c3p_a075.json", 3.71),
+    ("c1 (fixed thr)", "results/rd_c1_fixedthr.json", -0.72),
+    ("c2 (fixed thr)", "results/rd_c2_fixedthr.json", -0.25),
+    ("c3p-a0.9 (fixed thr)", "results/rd_c3p_a09_fixedthr.json", 1.79),
+    ("c3p-a0.75 (fixed thr)", "results/rd_c3p_a075_fixedthr.json", 3.71),
+    ("c3p-a0.75 (adaptive)", "results/rd_c3p_a075.json", 5.39),
 ]
 
 

@@ -42,9 +42,12 @@ step train_c3p9  14400 python -u tools/rd_train_all.py --config c3p --alpha 0.9
 step extend_c3p  21600 python -u tools/rd_train_all.py --config c3p --extend 20000
 
 # ---- 3. ladder eval + report ----------------------------------------------
-step eval_c1     5400 python -u tools/rd_eval.py --config c1
-step eval_c2     5400 python -u tools/rd_eval.py --config c2
-step eval_c3p9   5400 python -u tools/rd_eval.py --config c3p --run_id c3p-a0.9 --out results/rd_c3p_a09.json
+# published c1..c4 rungs use the reference's FIXED-threshold protocol;
+# the adaptive flagship curve (c5/c6 rung) is re-evaluated last
+step eval_c1     7200 python -u tools/rd_eval.py --config c1 --fixed_threshold
+step eval_c2     7200 python -u tools/rd_eval.py --config c2 --fixed_threshold
+step eval_c3p9   7200 python -u tools/rd_eval.py --config c3p --run_id c3p-a0.9 --fixed_threshold
+step eval_c3pf   7200 python -u tools/rd_eval.py --config c3p --fixed_threshold
 step eval_c3p    5400 python -u tools/rd_eval.py --config c3p
 step ladder      600  python -u tools/rd_ladder.py
 

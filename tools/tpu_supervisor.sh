@@ -9,7 +9,7 @@ cd /root/repo
 
 while true; do
   echo "[sup] probe attempt $(date -u +%H:%M:%S)"
-  if timeout 900 python -u tools/tpu_probe.py 1 > /tmp/tpu_probe_once.log 2>&1; then
+  if timeout -k 30 900 python -u tools/tpu_probe.py 1 > /tmp/tpu_probe_once.log 2>&1; then
     echo "[sup] TPU is UP:"
     tail -2 /tmp/tpu_probe_once.log
     break
