@@ -29,7 +29,8 @@ from pcc_geo_cnn_v2_tpu.models.entropy import (
     GaussianConditional,
     default_scale_table,
 )
-from pcc_geo_cnn_v2_tpu.models.transforms import TRANSFORMS
+from pcc_geo_cnn_v2_tpu.models.transforms import TRANSFORMS, _BlockStack
+from pcc_geo_cnn_v2_tpu.ops.pallas_conv import fused_block_stack_apply
 
 __all__ = ["CompressionModelV1", "CompressionModelV2"]
 
@@ -91,6 +92,15 @@ class CompressionModelV2(nn.Module):
     scales_max: float = 256.0
     scales_levels: int = 64
     dtype: Any = None
+    # "xla" | "pallas": conv backend for the INFERENCE entry points
+    # (encode/encode_syms/decode_y). "pallas" runs the V2-family block
+    # stacks through the fused lane-folded kernel
+    # (ops/pallas_conv.fused_block_stack_apply) from the same param tree;
+    # training (__call__) always uses flax/XLA (the kernel defines no
+    # VJP). Encode and decode runs of one bitstream must use the same
+    # backend (same-executable determinism contract as the rest of the
+    # decoder-canonical design).
+    conv_backend: str = "xla"
 
     def setup(self):
         self.analysis_t = TRANSFORMS[self.analysis](self.num_filters, dtype=self.dtype)
@@ -107,6 +117,16 @@ class CompressionModelV2(nn.Module):
             default_scale_table(self.scales_min, self.scales_max,
                                 self.scales_levels)
         )
+
+    def _stack(self, t, x, synthesis: bool):
+        """Apply a transform stack through the selected conv backend."""
+        if (self.conv_backend == "pallas" and isinstance(t, _BlockStack)
+                and t.residual_mode == "add"):
+            return fused_block_stack_apply(
+                t.variables["params"], x, filters=t.filters,
+                widths=t.widths, synthesis=synthesis,
+                dtype=self.dtype or jnp.float32)
+        return t(x)
 
     def __call__(self, x, training: bool, noise_rng=None, noise_rng2=None):
         y = self.analysis_t(x)
@@ -129,7 +149,7 @@ class CompressionModelV2(nn.Module):
         the *same* jitted computation the decoder runs, so encoder-embedded
         reconstructions match the decoder bit-for-bit on one platform.
         """
-        y = self.analysis_t(x)
+        y = self._stack(self.analysis_t, x, synthesis=False)
         z = self.hyper_analysis_t(y).astype(jnp.float32)
         # quantize in f32 even when the conv stacks run bf16
         z_sym = self.entropy_bottleneck.quantize_symbols(z)
@@ -143,7 +163,7 @@ class CompressionModelV2(nn.Module):
         decoder-side recomputation :meth:`encode` performs; the codec runs
         the decoder-canonical ``decode_z``/``decode_y`` executables on the
         symbols instead (same executables the decoder runs → bit-exact)."""
-        y = self.analysis_t(x)
+        y = self._stack(self.analysis_t, x, synthesis=False)
         z = self.hyper_analysis_t(y).astype(jnp.float32)
         return {
             "z_sym": self.entropy_bottleneck.quantize_symbols(z),
@@ -161,5 +181,6 @@ class CompressionModelV2(nn.Module):
 
     def decode_y(self, y_sym):
         y_hat = self.conditional.dequantize_symbols(y_sym)
-        x_hat = self.synthesis_t(y_hat).astype(jnp.float32)
+        x_hat = self._stack(self.synthesis_t, y_hat,
+                            synthesis=True).astype(jnp.float32)
         return jnp.clip(x_hat, 0.0, 1.0)

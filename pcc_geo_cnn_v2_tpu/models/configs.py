@@ -47,8 +47,13 @@ MODEL_CONFIGS: dict[str, dict] = {
 }
 
 
-def build_model(config, dtype=None) -> nn.Module:
-    """Instantiate a model from a config name or an explicit config dict."""
+def build_model(config, dtype=None, conv_backend="xla") -> nn.Module:
+    """Instantiate a model from a config name or an explicit config dict.
+
+    ``conv_backend`` selects the inference conv path for v2 models
+    ("pallas" = fused lane-folded kernels, see models/codec_models.py);
+    v1 models ignore it (their k9/k5 V1 stacks have no residual tails).
+    """
     if isinstance(config, str):
         config = MODEL_CONFIGS[config]
     cfg = dict(config)
@@ -56,5 +61,6 @@ def build_model(config, dtype=None) -> nn.Module:
     if kind == "v1":
         return CompressionModelV1(dtype=dtype, **cfg)
     if kind == "v2":
-        return CompressionModelV2(dtype=dtype, **cfg)
+        return CompressionModelV2(dtype=dtype, conv_backend=conv_backend,
+                                  **cfg)
     raise ValueError(f"unknown model kind {kind}")

@@ -88,11 +88,11 @@ def _bucket_kernel(kt_ref, pt_ref, pts_ref, cand_ref, colsum_ref,
 
         @pl.when(i == 0)
         def _():
-            candmin_ref[...] = cm
+            candmin_ref[0] = cm
 
         @pl.when(i > 0)
         def _():
-            candmin_ref[...] = jnp.minimum(candmin_ref[...], cm)
+            candmin_ref[0] = jnp.minimum(candmin_ref[0], cm)
 
         # inclusive prefix-min along the sorted-candidate (lane) axis
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
@@ -111,11 +111,11 @@ def _bucket_kernel(kt_ref, pt_ref, pts_ref, cand_ref, colsum_ref,
 
         @pl.when(i == 0)
         def _():
-            colsum_ref[...] = contrib
+            colsum_ref[0] = contrib
 
         @pl.when(i > 0)
         def _():
-            colsum_ref[...] = colsum_ref[...] + contrib
+            colsum_ref[0] = colsum_ref[0] + contrib
 
 
 @functools.partial(jax.jit, static_argnames=("kc", "pc", "interpret"))
@@ -136,9 +136,14 @@ def _bucket_colsums_pallas(pts_f, cand, kt, pt, kc=1024, pc=512,
     assert p_dim % pc == 0 and k_dim % kc == 0, (p_dim, pc, k_dim, kc)
     grid = (n, k_dim // kc, p_dim // pc)
     kernel = functools.partial(_bucket_kernel, pc=pc, kc=kc)
-    out_spec = pl.BlockSpec((1, kc), lambda b, j, i, *_: (b, j),
+    # outputs are [N, 1, K] with (1, 1, kc) blocks: Mosaic requires the
+    # block's last two dims to be (divisible by 8, divisible by 128) OR
+    # equal to the array's dims — the singleton middle axis satisfies the
+    # sublane rule exactly (a (1, kc) block on [N, K] does not compile on
+    # real TPU; caught on hardware r3)
+    out_spec = pl.BlockSpec((1, 1, kc), lambda b, j, i, *_: (b, 0, j),
                             memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((n, k_dim), jnp.float32)
+    shape = jax.ShapeDtypeStruct((n, 1, k_dim), jnp.float32)
     colsum, candmin = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -159,7 +164,7 @@ def _bucket_colsums_pallas(pts_f, cand, kt, pt, kc=1024, pc=512,
         ),
         interpret=interpret,
     )(kt, pt, pts_f, cand)
-    return colsum, candmin
+    return colsum[:, 0, :], candmin[:, 0, :]
 
 
 @functools.partial(jax.jit,

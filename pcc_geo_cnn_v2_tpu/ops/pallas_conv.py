@@ -1,0 +1,299 @@
+"""Fused 3D-conv residual tails as a Pallas TPU kernel (lane-folded).
+
+The north-star item (BASELINE.json: "model_transforms ... become fused
+Pallas 3D-conv kernels"): the (Progressive)V2 transform stacks spend
+~85% of their FLOPs in the stride-1 k3 residual tails of each
+Analysis/Synthesis block (two convs + ReLUs + skip add — reference
+``/root/reference/src/model_transforms.py:22-38,62-81``). XLA runs each
+conv as a separate HBM-to-HBM op and, worse, the small channel counts
+(16/32/64) fill only C/128 of the MXU lane axis in the natural NDHWC
+lowering.
+
+This kernel removes both limits:
+
+- **Lane folding**: ``[D, H, W, C] → [D·H·W/G, G·C]`` with ``G = 128/C``
+  is a pure row-major reshape (G consecutive W-voxels share a 128-lane
+  row), so volumes enter and leave the kernel with zero relayout cost
+  and every VMEM row is fully packed.
+- **Block-diagonal taps**: a k3 conv is 27 shifted matmuls; in folded
+  layout each tap is ONE dense ``[R,128]×[128,128]`` matmul against
+  ``kron(I_G, W_tap)`` — the MXU runs at full lane utilization (the
+  8/G redundancy is free: the systolic array multiplies the zero
+  blocks anyway, and G·C = 128 beats a 12.5%-occupied 16-lane matmul).
+- **Tap shifts as rolls**: ±1 voxel along W is a ±C lane roll with a
+  cross-group borrow row, ±1 along H/D are sublane rolls by W/G and
+  H·W/G rows; border zeroing is an iota mask. No im2col buffer exists.
+- **Fusion**: conv₁ → bias → ReLU → conv₂ → bias → ReLU → (+x) all
+  happen on one VMEM-resident block; the intermediate activation never
+  touches HBM.
+
+The same kernel serves SynthesisBlock tails unchanged: a stride-1 SAME
+ConvTranspose is numerically identical to the plain conv
+(lhs_dilation = 1), verified against flax in the parity tests.
+
+Grid is one program per batch element; all stage shapes of the c3p/c3
+families (32³×16, 16³×32, 8³×64 — and their V2 counterparts) fit VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "fused_residual_tail",
+    "fused_block_stack_apply",
+    "pack_tail_weights",
+    "fold_shape",
+]
+
+LANES = 128
+
+
+def fold_shape(spatial: int, channels: int):
+    """(rows R, group G) of the folded [R, 128] layout for a cube."""
+    assert LANES % channels == 0, channels
+    g = LANES // channels
+    vox = spatial ** 3
+    assert spatial % g == 0, (spatial, g)
+    return vox // g, g
+
+
+def _block_diag(w_tap: np.ndarray | jax.Array, g: int) -> jax.Array:
+    """[cin, cout] → [g·cin, g·cout] = kron(I_g, W)."""
+    eye = jnp.eye(g, dtype=w_tap.dtype)
+    return jnp.kron(eye, w_tap)
+
+
+def pack_tail_weights(kernel, g: int, *,
+                      dtype=jnp.bfloat16) -> jax.Array:
+    """Flax conv kernel [3,3,3,cin,cout] → [27, 128, 128] block-diag taps.
+
+    Tap order is (dz, dy, dx) row-major over {-1,0,1}³ matching the
+    in-kernel shift loop. Serves ConvTranspose tails unchanged: a
+    stride-1 SAME ConvTranspose is numerically identical to the plain
+    conv (lhs_dilation=1 — verified against flax in
+    tests/test_pallas_conv.py).
+    """
+    k = jnp.asarray(kernel)
+    assert k.shape[:3] == (3, 3, 3), k.shape
+    taps = [_block_diag(k[dz, dy, dx].astype(dtype), g)
+            for dz in range(3) for dy in range(3) for dx in range(3)]
+    return jnp.stack(taps)
+
+
+def _fold_bias(b, g: int, dtype=jnp.float32) -> jax.Array:
+    return jnp.tile(jnp.asarray(b, dtype), (g,))[None, :]
+
+
+def _voxel_coords(rows: int, h: int, w: int, g: int, c: int):
+    """Per-element voxel coords of the folded layout, [rows, LANES] each.
+
+    Row r holds w-group ``wq = r % (w/g)`` of ``hh = (r // (w/g)) % h``,
+    ``dd = r // (h·w/g)``; lane l holds group ``gg = l // c`` so the real
+    w coordinate is ``wq·g + gg``.
+    """
+    wq = w // g
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    ww = (r % wq) * g + l // c
+    hh = (r // wq) % h
+    dd = r // (h * wq)
+    return ww, hh, dd
+
+
+def _make_tap_fn(d: int, h: int, w: int, g: int, c: int):
+    """Returns shift(x, dz, dy, dx) → x shifted by the tap, zero-filled.
+
+    Shift semantics: out[v] = x[v + (dz, dy, dx)] (correlation taps), so
+    ``acc += shift(x, dz, dy, dx) @ W[dz+1, dy+1, dx+1]`` reproduces a
+    SAME k3 s1 conv.
+    """
+    wq = w // g  # rows per h step; h·wq rows per d step
+
+    def shift(x, dz, dy, dx):
+        ww, hh, dd = _voxel_coords(x.shape[0], h, w, g, c)
+        # --- dx: lane roll by c, cross-group borrow from adjacent row
+        if dx != 0:
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            rolled = pltpu.roll(x, (-dx * c) % LANES, 1)
+            # element needing the neighbouring row's group: lane group
+            # overflowed. dx=+1: last group reads next row's group 0;
+            # dx=-1: group 0 reads previous row's last group.
+            if dx > 0:
+                borrow = pltpu.roll(rolled, x.shape[0] - 1, 0)  # row r+1
+                x = jnp.where(lane >= LANES - c, borrow, rolled)
+            else:
+                borrow = pltpu.roll(rolled, 1, 0)  # row r-1
+                x = jnp.where(lane < c, borrow, rolled)
+            x = jnp.where((ww + dx >= 0) & (ww + dx < w), x, 0)
+        # --- dy/dz: pure row shifts
+        roff = dy * wq + dz * h * wq
+        if roff != 0:
+            x = pltpu.roll(x, (-roff) % x.shape[0], 0)
+            mask = ((hh + dy >= 0) & (hh + dy < h)
+                    & (dd + dz >= 0) & (dd + dz < d))
+            x = jnp.where(mask, x, 0)
+        return x
+
+    return shift
+
+
+def _tail_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, t_ref,
+                 *, d, h, w, g, c, residual):
+    shift = _make_tap_fn(d, h, w, g, c)
+    x = x_ref[0]
+
+    def conv(src, w_ref, b_ref):
+        acc = jnp.zeros(src.shape, jnp.float32)
+        t = 0
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    acc = acc + jnp.dot(shift(src, dz, dy, dx), w_ref[t],
+                                        preferred_element_type=jnp.float32)
+                    t += 1
+        return jnp.maximum(acc + b_ref[...], 0.0)
+
+    t_ref[...] = conv(x, w1_ref, b1_ref).astype(t_ref.dtype)
+    y = conv(t_ref[...], w2_ref, b2_ref)
+    if residual:
+        y = y + x.astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_residual_tail(x, w1, b1, w2, b2, *, spatial: int, channels: int,
+                        residual: bool = True,
+                        interpret: bool = False, dtype=jnp.bfloat16):
+    """relu(conv2(relu(conv1(x)))) [+ x] on a cube, fully fused in VMEM.
+
+    x: [N, D, H, W, C] (D=H=W=spatial, C=channels) or pre-folded
+    [N, R, 128]. w1/w2: flax kernels [3,3,3,C,C]; b1/b2: [C]. Serves
+    both Analysis and Synthesis block tails (stride-1 SAME ConvTranspose
+    ≡ conv). Returns the same layout it was given.
+    """
+    rows, g = fold_shape(spatial, channels)
+    folded_in = x.ndim == 3
+    n = x.shape[0]
+    xf = x.reshape(n, rows, LANES).astype(dtype)
+
+    w1p = pack_tail_weights(w1, g, dtype=dtype)
+    w2p = pack_tail_weights(w2, g, dtype=dtype)
+    b1p = _fold_bias(b1, g)
+    b2p = _fold_bias(b2, g)
+
+    kern = functools.partial(_tail_kernel, d=spatial, h=spatial, w=spatial,
+                             g=g, c=channels, residual=residual)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, LANES, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, LANES, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows, LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), dtype),  # intermediate activation
+        ],
+        interpret=interpret,
+    )(xf, w1p, b1p, w2p, b2p)
+    if folded_in:
+        return out
+    return out.reshape(x.shape[0], spatial, spatial, spatial, channels)
+
+
+# ---------------------------------------------------------------------------
+# Full-stack appliers: run a (Progressive)V2 transform stack from its flax
+# param tree with XLA strided convs + fused Pallas tails. Consumes the
+# exact checkpoint layout (AnalysisBlock_i/Conv_j, SynthesisBlock_i/
+# ConvTranspose_j) so any trained model can switch backends.
+# ---------------------------------------------------------------------------
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+# Above this folded-row count the three VMEM-resident buffers of the tail
+# kernel (~4 x rows x 128 x 2B) no longer fit comfortably in ~16 MB VMEM;
+# such stages (the 64³x16 synthesis tail) fall back to XLA convs.
+MAX_FUSED_ROWS = 8192
+
+
+def _xla_conv(x, kern, bias, strides=1, dtype=jnp.bfloat16):
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), jnp.asarray(kern, dtype), (strides,) * 3, "SAME",
+        dimension_numbers=_DN)
+    if bias is not None:
+        y = y + jnp.asarray(bias, dtype)
+    return y
+
+
+def _xla_deconv(x, kern, bias, strides=1, dtype=jnp.bfloat16):
+    y = jax.lax.conv_transpose(
+        x.astype(dtype), jnp.asarray(kern, dtype), (strides,) * 3, "SAME",
+        dimension_numbers=_DN)
+    if bias is not None:
+        y = y + jnp.asarray(bias, dtype)
+    return y
+
+
+def _tail(x, p1, p2, spatial, channels, dtype, interpret, deconv):
+    rows, _ = fold_shape(spatial, channels)
+    if rows <= MAX_FUSED_ROWS:
+        return fused_residual_tail(
+            x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+            spatial=spatial, channels=channels, interpret=interpret,
+            dtype=dtype)
+    op = _xla_deconv if deconv else _xla_conv
+    t = jax.nn.relu(op(x, p1["kernel"], p1["bias"], dtype=dtype))
+    t = jax.nn.relu(op(t, p2["kernel"], p2["bias"], dtype=dtype))
+    return x + t
+
+
+def fused_block_stack_apply(params, x, *, filters, widths, synthesis,
+                            dtype=jnp.bfloat16, interpret=None):
+    """Apply a _BlockStack (V2/ProgressiveV2 family) from its param tree.
+
+    ``params``: the transform's own subtree (e.g.
+    ``variables["params"]["analysis_t"]``). Numerically equivalent to the
+    flax module (same strided convs via XLA, tails via the fused Pallas
+    kernel); 'add' residual mode only.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spatial = x.shape[1]
+    if synthesis:
+        for i, frac in enumerate(widths):
+            c = int(filters * frac)
+            p = params[f"SynthesisBlock_{i}"]
+            h = jax.nn.relu(_xla_deconv(x, p["ConvTranspose_0"]["kernel"],
+                                        p["ConvTranspose_0"]["bias"], 2,
+                                        dtype=dtype))
+            spatial *= 2
+            x = _tail(h, p["ConvTranspose_1"], p["ConvTranspose_2"],
+                      spatial, c, dtype, interpret, deconv=True)
+        p = params["ConvTranspose_0"]
+        return jax.nn.relu(_xla_deconv(x, p["kernel"], p["bias"],
+                                       dtype=dtype))
+    for i, frac in enumerate(widths):
+        c = int(filters * frac)
+        p = params[f"AnalysisBlock_{i}"]
+        h = jax.nn.relu(_xla_conv(x, p["Conv_0"]["kernel"],
+                                  p["Conv_0"]["bias"], 2, dtype=dtype))
+        spatial //= 2
+        x = _tail(h, p["Conv_1"], p["Conv_2"], spatial, c, dtype,
+                  interpret, deconv=False)
+    return _xla_conv(x, params["Conv_0"]["kernel"], None, dtype=dtype)

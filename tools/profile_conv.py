@@ -18,6 +18,7 @@ Usage: python tools/profile_conv.py [--config c3p] [--batches 8 32 64 128]
 """
 
 import argparse
+import functools
 import gzip
 import sys
 import time
@@ -109,6 +110,36 @@ def main():
                   f"{sol:>10.3f} {ms_blk/sol:>6.1f} {mfu:>6.1f}",
                   flush=True)
             table[(name, n)] = ms_blk
+
+    # pallas fused-stack A/B: the lane-folded kernel vs the flax/XLA pass
+    # (ops/pallas_conv.fused_block_stack_apply), same params
+    from pcc_geo_cnn_v2_tpu.models.transforms import _BlockStack, TRANSFORMS
+    from pcc_geo_cnn_v2_tpu.ops.pallas_conv import fused_block_stack_apply
+
+    t_ana = TRANSFORMS[model.analysis](f)
+    if isinstance(t_ana, _BlockStack):
+        for name, sub, synth, shape in (
+                ("analysis", "analysis_t", False, (B, B, B, 1)),
+                ("synthesis", "synthesis_t", True, (ry, ry, ry, f))):
+            widths = TRANSFORMS[getattr(model, name)](f).widths
+            fn = jax.jit(functools.partial(
+                fused_block_stack_apply, filters=f, widths=widths,
+                synthesis=synth, dtype=jnp.bfloat16, interpret=False))
+            sub_params = params["params"][sub]
+            for n in args.batches:
+                x = jax.device_put(
+                    jax.random.normal(rng, (n, *shape), jnp.float32) * 0.1)
+                try:
+                    dt = timed(lambda: fn(sub_params, x))
+                except Exception as e:
+                    print(f"pallas {name} [batch {n}] FAILED: {e!r}"[:300],
+                          flush=True)
+                    break
+                ms_blk = dt * 1e3 / n
+                xla_ms = table.get((name, n))
+                rel = f"  ({xla_ms/ms_blk:4.1f}x vs XLA)" if xla_ms else ""
+                print(f"{'pallas ' + name:<16} {n:>5} {dt*1e3:>9.2f} "
+                      f"{ms_blk:>8.3f}{rel}", flush=True)
 
     # fused-chain check: whole analysis+hyper in one jit vs sum of parts —
     # a large gap means XLA already loses time to HBM round-trips between

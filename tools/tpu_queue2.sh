@@ -36,6 +36,9 @@ step prof_encode 2400 python -u tools/profile_encode.py
 # ---- 2. quick decision data (VERDICT #2 and #6b) --------------------------
 step prof_conv   2400 python -u tools/profile_conv.py
 step aot         2400 python -u tools/aot_export.py
+# re-measure with the FIXED bucket kernel (the first bench_timed ran
+# before the Mosaic block-shape fix landed and demoted to the EDT sweep)
+step bench_timed2 3000 env PCC_TIMING=1 BENCH_PIPELINE=2 python -u bench.py
 
 # ---- 3. ladder rungs: train then eval, cheapest architecture first --------
 # (r2 checkpoints were lost with the container; every rung retrains at the
