@@ -250,17 +250,18 @@ def _xla_deconv(x, kern, bias, strides=1, dtype=jnp.bfloat16):
     return y
 
 
-def _tail(x, p1, p2, spatial, channels, dtype, interpret, deconv):
+def _tail(x, p1, p2, spatial, channels, dtype, interpret):
     rows, _ = fold_shape(spatial, channels)
     if rows <= MAX_FUSED_ROWS:
         return fused_residual_tail(
             x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
             spatial=spatial, channels=channels, interpret=interpret,
             dtype=dtype)
-    op = _xla_deconv if deconv else _xla_conv
-    t = jax.nn.relu(op(x, p1["kernel"], p1["bias"], dtype=dtype))
-    t = jax.nn.relu(op(t, p2["kernel"], p2["bias"], dtype=dtype))
-    return x + t
+    # VMEM-oversized stage (the 64³×16 synthesis tail): slab-DMA variant
+    return fused_residual_tail_slab(
+        x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+        spatial=spatial, channels=channels, interpret=interpret,
+        dtype=dtype)
 
 
 def fused_block_stack_apply(params, x, *, filters, widths, synthesis,
@@ -284,7 +285,7 @@ def fused_block_stack_apply(params, x, *, filters, widths, synthesis,
                                         dtype=dtype))
             spatial *= 2
             x = _tail(h, p["ConvTranspose_1"], p["ConvTranspose_2"],
-                      spatial, c, dtype, interpret, deconv=True)
+                      spatial, c, dtype, interpret)
         p = params["ConvTranspose_0"]
         return jax.nn.relu(_xla_deconv(x, p["kernel"], p["bias"],
                                        dtype=dtype))
@@ -295,5 +296,115 @@ def fused_block_stack_apply(params, x, *, filters, widths, synthesis,
                                   p["Conv_0"]["bias"], 2, dtype=dtype))
         spatial //= 2
         x = _tail(h, p["Conv_1"], p["Conv_2"], spatial, c, dtype,
-                  interpret, deconv=False)
+                  interpret)
     return _xla_conv(x, params["Conv_0"]["kernel"], None, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Slab variant: stages too big for whole-volume VMEM residency (the
+# 64³×16 synthesis tail = the single largest FLOPs chunk of the c3p
+# stack) run the same fused tail over D-slabs. The caller zero-pads the
+# folded volume by 2 slices on each D end; each grid step DMAs its
+# haloed slab from HBM, computes conv₁ over the whole slab (the two
+# halo slices of conv₁ output are wrap garbage but never read by
+# conv₂), computes conv₂ + residual for the slab interior, and writes
+# one non-overlapping output slab.
+# ---------------------------------------------------------------------------
+
+
+def _tail_slab_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+                      xs_ref, sem, *, d, h, w, g, c, slab, residual):
+    shift = _make_tap_fn(d, h, w, g, c)  # d only used for dz masks; the
+    # zero-padded halo slices make the global-D mask unnecessary, but the
+    # local mask must not kill interior taps — so pass a "d" larger than
+    # any local index (slab + 4 slices ≤ d + 4).
+    srows = (w // g) * h  # folded rows per D slice
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    # conv₁ on the zero-padded halo is NOT zero (relu(bias)): zero any t
+    # row whose global D slice lies outside the real volume, exactly as
+    # the true conv's border taps would
+    rows_slab = (slab + 4) * srows
+    g_d = (s * slab - 2
+           + jax.lax.broadcasted_iota(jnp.int32, (rows_slab, LANES), 0)
+           // srows)
+    t_valid = (g_d >= 0) & (g_d < w)  # cube: global D extent == w
+
+    dma = pltpu.make_async_copy(
+        x_ref.at[i, pl.ds(s * slab * srows, (slab + 4) * srows), :],
+        xs_ref, sem)
+    dma.start()
+    dma.wait()
+
+    def conv(src, w_ref, b_ref):
+        acc = jnp.zeros(src.shape, jnp.float32)
+        t = 0
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    acc = acc + jnp.dot(shift(src, dz, dy, dx), w_ref[t],
+                                        preferred_element_type=jnp.float32)
+                    t += 1
+        return jnp.maximum(acc + b_ref[...], 0.0)
+
+    t_full = conv(xs_ref[...], w1_ref, b1_ref)
+    t_full = jnp.where(t_valid, t_full, 0.0).astype(xs_ref.dtype)
+    y = conv(t_full, w2_ref, b2_ref)
+    lo = 2 * srows  # static: interior slices [2, slab+2) of the slab
+    hi = (slab + 2) * srows
+    y = y[lo:hi, :]
+    if residual:
+        y = y + xs_ref[lo:hi, :].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_residual_tail_slab(x, w1, b1, w2, b2, *, spatial: int,
+                             channels: int, slab: int = 8,
+                             residual: bool = True, interpret: bool = False,
+                             dtype=jnp.bfloat16):
+    """Slab-pipelined fused tail for volumes beyond whole-block VMEM."""
+    rows, g = fold_shape(spatial, channels)
+    assert spatial % slab == 0, (spatial, slab)
+    folded_in = x.ndim == 3
+    n = x.shape[0]
+    srows = rows // spatial  # folded rows per D slice
+    xf = x.reshape(n, rows, LANES).astype(dtype)
+    xpad = jnp.pad(xf, ((0, 0), (2 * srows, 2 * srows), (0, 0)))
+
+    w1p = pack_tail_weights(w1, g, dtype=dtype)
+    w2p = pack_tail_weights(w2, g, dtype=dtype)
+    b1p = _fold_bias(b1, g)
+    b2p = _fold_bias(b2, g)
+
+    # dz masks must pass for every local slab slice (global D borders are
+    # provided by the zero padding): use the slab's own depth + halo.
+    kern = functools.partial(_tail_slab_kernel, d=slab + 4, h=spatial,
+                             w=spatial, g=g, c=channels, slab=slab,
+                             residual=residual)
+    out = pl.pallas_call(
+        kern,
+        grid=(n, spatial // slab),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((27, LANES, LANES), lambda i, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, LANES, LANES), lambda i, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, slab * srows, LANES),
+                               lambda i, s: (i, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows, LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((slab + 4) * srows, LANES), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xpad, w1p, b1p, w2p, b2p)
+    if folded_in:
+        return out
+    return out.reshape(x.shape[0], spatial, spatial, spatial, channels)

@@ -145,3 +145,46 @@ def test_conv_backend_pallas_matches_xla_end_to_end():
     dp = mp.apply(params, sx["y_sym"], method=mp.decode_y)
     np.testing.assert_allclose(np.asarray(dp), np.asarray(dx),
                                rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("spatial,channels,slab", [(16, 16, 4), (16, 16, 8),
+                                                   (32, 16, 8)])
+def test_slab_tail_matches_whole_volume(spatial, channels, slab):
+    """The slab-DMA variant must equal the XLA chain (and hence the
+    whole-volume kernel) including at slab boundaries."""
+    from pcc_geo_cnn_v2_tpu.ops.pallas_conv import fused_residual_tail_slab
+
+    x = _rand(0, 1, spatial, spatial, spatial, channels)
+    w1 = _rand(1, 3, 3, 3, channels, channels)
+    w2 = _rand(2, 3, 3, 3, channels, channels)
+    b1 = _rand(3, channels)
+    b2 = _rand(4, channels)
+
+    want = jax.nn.relu(xla_conv(x, w1, b1))
+    want = jax.nn.relu(xla_conv(want, w2, b2)) + x
+
+    got = fused_residual_tail_slab(x, w1, b1, w2, b2, spatial=spatial,
+                                   channels=channels, slab=slab,
+                                   interpret=True, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_synthesis_stack_with_slab_stage():
+    """Full c3p synthesis at real 64³ scale: the 64³×16 tail runs the
+    slab-DMA kernel; output must match the flax module end to end."""
+    from pcc_geo_cnn_v2_tpu.models.transforms import (
+        SynthesisTransformProgressiveV2,
+    )
+    from pcc_geo_cnn_v2_tpu.ops.pallas_conv import fused_block_stack_apply
+
+    t = SynthesisTransformProgressiveV2(64)
+    y = _rand(5, 1, 8, 8, 8, 64)
+    params = t.init(jax.random.PRNGKey(0), y)
+    want = t.apply(params, y)
+    got = fused_block_stack_apply(params["params"], y, filters=64,
+                                  widths=(1, 0.5, 0.25), synthesis=True,
+                                  dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=1e-3)
