@@ -84,7 +84,8 @@ def main():
         from pcc_geo_cnn_v2_tpu.utils.scansim import figure_cloud
 
         out = []
-        for seed in range(300, 308):
+        n_clouds = int(os.environ.get("BENCH_NUM_CLOUDS", 8))
+        for seed in range(300, 300 + n_clouds):
             pts = figure_cloud(seed, 1024, with_normals=False)
             out.append((pts,) + tuple(partition_octree(
                 pts, [0, 0, 0], [1024] * 3, 4)))

@@ -48,6 +48,27 @@ logger = logging.getLogger(__name__)
 __all__ = ["BlockCodec", "select_best_per_opt_metric"]
 
 
+def _mk_tlog(tag):
+    """PCC_TIMING=2 event logger: absolute-offset timestamps around every
+    host-blocking step, for localizing tunnel/GIL/backpressure stalls that
+    the phase totals hide."""
+    import os
+    import time
+
+    if os.environ.get("PCC_TIMING", "0") < "2":
+        return lambda label: None
+    t0 = time.time()
+    last = [t0]
+
+    def tlog(label):
+        now = time.time()
+        logger.info("[t+%7.2fs] (+%6.2fs) %s %s",
+                    now - t0, now - last[0], tag, label)
+        last[0] = now
+
+    return tlog
+
+
 def _get_normals(arr, with_normals):
     return arr[:, arr.shape[1] - 3:] if with_normals else None
 
@@ -451,6 +472,7 @@ class BlockCodec:
         from the device-retained full-width copy. Divergent models that
         emit |symbol| > 32767 take the int32 path instead of aborting.
         """
+        tlog = _mk_tlog("widen")
         if "y_nzpos" in out:
             # rebuild the dense int8 grid from the sparse transfer
             pos = out.pop("y_nzpos")
@@ -469,6 +491,7 @@ class BlockCodec:
                 logger.info("re-fetched %d blocks over the %d-nonzero "
                             "symbol budget", len(over), nzb)
             out["y_sym"] = flat.reshape((n,) + self.y_shape)
+        tlog("sparse y rebuilt")
         sym_dev = {}
         for key in ("y_sym", "z_sym") if self.is_v2 else ("y_sym",):
             wide = np.nonzero(out.pop(f"{key}_wide"))[0]
@@ -490,6 +513,7 @@ class BlockCodec:
                 out[key][wide] = rows
                 logger.info("re-fetched %d wide %s blocks as %s", len(wide),
                             key, np.dtype(dtype).name)
+            tlog(f"{key} widened ({np.dtype(dtype).name})")
         return sym_dev
 
     def _points_from_pos(self, pos, count, masks_dev):
@@ -498,12 +522,15 @@ class BlockCodec:
         construction); blocks denser than ``coord_budget`` gather and
         unpack their device-retained mask rows instead."""
         bsz = self.block_size
+        tlog = _mk_tlog("unpack")
         count = np.asarray(count)
         over = np.nonzero(count > self.coord_budget)[0]
         over_pts = {}
         if len(over):
             rows = jax.device_get(
                 jnp.take(masks_dev, jnp.asarray(over), axis=0))
+            tlog(f"mask rows fetched ({rows.nbytes/1e6:.1f} MB, "
+                 f"{len(over)} blocks)")
             # one batched unpack + argwhere, split by row (a per-block
             # loop here measured ~1 s/cloud on dense scan clouds)
             bits = np.unpackbits(rows, axis=-1, bitorder="big")
@@ -516,6 +543,7 @@ class BlockCodec:
             logger.info("%d/%d blocks over coord budget %d (mask rows "
                         "fetched)", len(over), len(count),
                         self.coord_budget)
+            tlog("mask rows unpacked")
         out = []
         for i in range(len(count)):
             if count[i] > self.coord_budget:
@@ -526,6 +554,7 @@ class BlockCodec:
                     [p // (bsz * bsz), (p // bsz) % bsz, p % bsz],
                     1).astype(np.float32)
             out.append(coords)
+        tlog("per-block coord lists built")
         return out
 
     # -- encode ------------------------------------------------------------
@@ -911,6 +940,7 @@ class BlockCodec:
         if not with_normals:
             assert all(m in D1_METRICS for m in opt_metrics), opt_metrics
         n = len(blocks)
+        tlog = _mk_tlog(f"enc[{n}]")
         budget = point_budget or max(
             int(2 ** np.ceil(np.log2(max(len(b) for b in blocks)))), 64
         )
@@ -940,6 +970,7 @@ class BlockCodec:
             return parts
 
         arrays = [pts_chunker]
+        tlog("host prep (flatten/pack) done")
         t0 = time.time()
         # analysis pass: full-width symbols, occupancy and point lists
         # stay on device (later passes never re-upload them); the host
@@ -954,6 +985,7 @@ class BlockCodec:
             self._encode_syms_fn(with_normals, point_budget=budget),
             arrays, n, keep_device=keep, device_copies=copies,
         )
+        tlog("syms pass fetched")
         dup = out.pop("dup_count")
         if np.any(dup):
             raise ValueError(
@@ -962,6 +994,7 @@ class BlockCodec:
                 "the sparse sweep sums would silently double-count"
             )
         sym_dev = self._widen_symbols(out, dev_keep)
+        tlog("widen_symbols done")
         t_syms = time.time() - t0
         t_device = t_syms
 
@@ -982,6 +1015,7 @@ class BlockCodec:
             fin_z = self._run_chunked(
                 self._decode_z, [sym_dev["z_sym"]], n, defer=True
             )
+            tlog("decode_z dispatched")
         sweep_mask = self._sweep_mask_fn(opt_metrics, max_deltas,
                                          with_normals)
 
@@ -998,15 +1032,19 @@ class BlockCodec:
         fin_sweep = self._run_chunked(
             dec_sweep, arrays2, n, keep_device=mask_keys, defer=True,
         )
+        tlog("dec+sweep dispatched")
         if fin_z is not None:
             out["y_idx"] = fin_z()
+            tlog("y_idx fetched")
         out2, mask_dev = fin_sweep()
+        tlog("sweep results fetched")
         overflow = out2.pop("overflow", None)
         if overflow is not None and np.any(overflow):
             self._rerun_overflowed(
                 np.nonzero(overflow)[0], out2, mask_dev, sym_dev, dev_keep,
                 opt_metrics, max_deltas, with_normals, n_metrics,
             )
+            tlog("overflow rerun done")
         picks = np.asarray(out2["picks"])
         packed_dev_by_metric = [mask_dev[f"masks{m}"]
                                 for m in range(n_metrics)]
@@ -1028,6 +1066,7 @@ class BlockCodec:
                                   packed_dev_by_metric[m])
             for m in range(n_metrics)
         ]
+        tlog("points unpacked")
         t_unpack = time.time() - t0
         t0 = time.time()
         metadata = self._select_best_device(
@@ -1039,6 +1078,7 @@ class BlockCodec:
                       if with_normals else None),
         )
         t_select = time.time() - t0
+        tlog("select done")
         t0 = time.time()
         strings_list = [f.result() for f in strings_futs]
         entropy_pool.shutdown()
