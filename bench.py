@@ -154,7 +154,9 @@ def main():
                            devices=jax.devices()[:N_DEVICES])
         return run_pipeline(codec, clouds, resolution, level, block_size,
                             log)
-    model = build_model("c3p", dtype=dtype)
+    model = build_model("c3p", dtype=dtype,
+                        conv_backend=os.environ.get("BENCH_CONV_BACKEND",
+                                                    "xla"))
     ckpt = (Path(__file__).parent
             / "pcc_geo_cnn_v2_tpu/assets/bench_c3p.msgpack.gz")
     if ckpt.exists():
@@ -229,6 +231,7 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
     # compile + warm every executable (same shapes as the timed run)
     codec.warmup(clouds[0][1], point_budget=budget,
                  flat_budget=flat_budget)
+    codec.warmup_cloud_shapes([len(blocks) for _, blocks, _ in clouds])
     log("warmup done")
 
     # BENCH_PIPELINE=k (default 2): k clouds in flight — one cloud's host

@@ -73,6 +73,27 @@ def _get_normals(arr, with_normals):
     return arr[:, arr.shape[1] - 3:] if with_normals else None
 
 
+def _pow2_rows(idx, total):
+    """Pad an index vector to the next pow2 length (≥8, ≤total rounded up).
+
+    Data-dependent gather lengths (over-budget blocks, wide rows,
+    overflow counts) change per cloud; under the axon remote compiler a
+    novel shape means a fresh multi-second compile, so every
+    host-computed index vector that feeds a device gather is padded to a
+    pow2 bucket (the padding gathers row idx[0] again and is dropped on
+    the host side).
+    """
+    k = len(idx)
+    m = max(8, int(2 ** np.ceil(np.log2(max(k, 1)))))
+    if total:
+        m = min(m, max(8, int(2 ** np.ceil(np.log2(total)))))
+    if m < k:
+        m = k
+    return np.concatenate(
+        [idx, np.full(m - k, idx[0] if k else 0, idx.dtype)]
+    )
+
+
 def narrow_symbols(a):
     """int8 when every symbol fits, else int16, else int32.
 
@@ -267,6 +288,9 @@ class BlockCodec:
 
         self._mask_coords_raw = _mask_pack_coords  # for use inside jits
         self._mask_pack_coords = jax.jit(_mask_pack_coords)
+        # canonical-feed casts for wide clouds (jitted: eager dtype casts
+        # are synchronous tunnel round-trips)
+        self._cast16 = jax.jit(lambda a: a.astype(jnp.int16))
         if self.is_v2:
             self._decode_z = jax.jit(
                 lambda params, s: self.model.apply(
@@ -461,16 +485,31 @@ class BlockCodec:
 
         return finish if defer else finish()
 
-    def _widen_symbols(self, out, dev_keep):
-        """Exact host symbols + canonical device feeds from the narrow
-        transfer.
+    def _gather_full_rows(self, key, gidx, syms_dev):
+        """Fetch full-width rows for global block indexes from the
+        per-chunk device-retained arrays (pow2-padded gathers — variable
+        row counts would compile fresh remote executables per cloud)."""
+        bs = self.batch_blocks
+        sample = syms_dev[0][key]
+        rows = np.empty((len(gidx),) + sample.shape[1:],
+                        np.dtype(sample.dtype))
+        for k in sorted(set(gidx // bs)):
+            m = gidx // bs == k
+            loc = (gidx[m] - k * bs).astype(np.int32)
+            padded = _pow2_rows(loc, bs)
+            got = jax.device_get(
+                jnp.take(syms_dev[k][key], jnp.asarray(padded), axis=0))
+            rows[m] = got[: int(m.sum())]
+        return rows
 
-        The host dtype per tensor mirrors the decoder's
-        :func:`narrow_symbols` choice (int8/int16/int32 by value range —
-        both sides must feed the SAME dtype so they hit the same decoder
-        executable); blocks with out-of-int8 values re-fetch their rows
-        from the device-retained full-width copy. Divergent models that
-        emit |symbol| > 32767 take the int32 path instead of aborting.
+    def _widen_symbols_chunks(self, out, syms_dev, n):
+        """Exact host symbols + per-chunk canonical decoder feeds.
+
+        Chunked counterpart of :meth:`_widen_symbols` (same dtype
+        contract — see its docstring): the host dtype per tensor mirrors
+        the decoder's :func:`narrow_symbols` choice over the whole cloud;
+        feeds[k] holds the decoder-canonical device arrays for chunk k
+        (int8 copies in the common case, jit-cast full-width otherwise).
         """
         tlog = _mk_tlog("widen")
         if "y_nzpos" in out:
@@ -478,43 +517,41 @@ class BlockCodec:
             pos = out.pop("y_nzpos")
             val = out.pop("y_nzval")
             cnt = out.pop("y_nzcnt")
-            n, nzb = pos.shape
+            nzb = pos.shape[1]
             flat = np.zeros((n, int(np.prod(self.y_shape))), np.int8)
             valid = np.arange(nzb)[None, :] < np.minimum(cnt, nzb)[:, None]
             flat[np.nonzero(valid)[0], pos[valid]] = val[valid]
             over = np.nonzero(cnt > nzb)[0]
             if len(over):
-                rows = jax.device_get(jnp.take(
-                    dev_keep["y_sym_full"], jnp.asarray(over), axis=0))
+                rows = self._gather_full_rows("y_sym_full", over, syms_dev)
                 flat[over] = np.clip(rows, -128, 127).astype(
                     np.int8).reshape(len(over), -1)
                 logger.info("re-fetched %d blocks over the %d-nonzero "
                             "symbol budget", len(over), nzb)
             out["y_sym"] = flat.reshape((n,) + self.y_shape)
         tlog("sparse y rebuilt")
-        sym_dev = {}
+        feeds = [dict() for _ in syms_dev]
         for key in ("y_sym", "z_sym") if self.is_v2 else ("y_sym",):
             wide = np.nonzero(out.pop(f"{key}_wide"))[0]
             wide16 = int(np.sum(out.pop(f"{key}_wide16")))
             dtype = (np.int32 if wide16 else
                      np.int16 if len(wide) else np.int8)
             out[key] = out[key].astype(dtype)
-            full = dev_keep[f"{key}_full"]
-            if dtype == np.int8:
-                sym_dev[key] = dev_keep[key]
-            elif dtype == np.int16:
-                sym_dev[key] = full.astype(jnp.int16)
-            else:
-                sym_dev[key] = full
+            for k, devk in enumerate(syms_dev):
+                if dtype == np.int8:
+                    feeds[k][key] = devk[key]
+                elif dtype == np.int16:
+                    feeds[k][key] = self._cast16(devk[f"{key}_full"])
+                else:
+                    feeds[k][key] = devk[f"{key}_full"]
             if len(wide):
-                rows = jax.device_get(
-                    jnp.take(full, jnp.asarray(wide), axis=0)
-                ).astype(dtype)
+                rows = self._gather_full_rows(
+                    f"{key}_full", wide, syms_dev).astype(dtype)
                 out[key][wide] = rows
-                logger.info("re-fetched %d wide %s blocks as %s", len(wide),
-                            key, np.dtype(dtype).name)
+                logger.info("re-fetched %d wide %s blocks as %s",
+                            len(wide), key, np.dtype(dtype).name)
             tlog(f"{key} widened ({np.dtype(dtype).name})")
-        return sym_dev
+        return feeds
 
     def _points_from_pos(self, pos, count, masks_dev):
         """Per-block [n_i, 3] float32 point lists from the compact
@@ -527,19 +564,24 @@ class BlockCodec:
         over = np.nonzero(count > self.coord_budget)[0]
         over_pts = {}
         if len(over):
+            # pow2-padded gather: a per-cloud over-count would compile a
+            # fresh remote executable every cloud
+            idx = _pow2_rows(over.astype(np.int32), len(count))
             rows = jax.device_get(
-                jnp.take(masks_dev, jnp.asarray(over), axis=0))
+                jnp.take(masks_dev, jnp.asarray(idx), axis=0))[:len(over)]
             tlog(f"mask rows fetched ({rows.nbytes/1e6:.1f} MB, "
                  f"{len(over)} blocks)")
-            # one batched unpack + argwhere, split by row (a per-block
-            # loop here measured ~1 s/cloud on dense scan clouds)
+            # flat nonzero + arithmetic coord decode (a 4-D argwhere over
+            # the unpacked volume measured ~4 s/cloud on dense scans)
             bits = np.unpackbits(rows, axis=-1, bitorder="big")
-            cz = np.argwhere(bits.reshape(len(over), bsz, bsz, bsz))
-            splits = np.searchsorted(cz[:, 0], np.arange(1, len(over)))
-            for i, coords in zip(over,
-                                 np.split(cz[:, 1:].astype(np.float32),
-                                          splits)):
-                over_pts[int(i)] = coords
+            blk, flat = np.nonzero(bits)
+            coords = np.empty((len(flat), 3), np.float32)
+            coords[:, 0] = flat // (bsz * bsz)
+            coords[:, 1] = (flat // bsz) % bsz
+            coords[:, 2] = flat % bsz
+            splits = np.searchsorted(blk, np.arange(1, len(over)))
+            for i, c in zip(over, np.split(coords, splits)):
+                over_pts[int(i)] = c
             logger.info("%d/%d blocks over coord budget %d (mask rows "
                         "fetched)", len(over), len(count),
                         self.coord_budget)
@@ -619,13 +661,13 @@ class BlockCodec:
                 out.pop(k)  # y_sym host copy comes from the sparse rebuild
         out = jax.device_get(out)
         out.pop("dup_count", None)  # padding blocks alias (0,0,0)
-        sym_dev = self._widen_symbols(out, dev_keep)
+        feeds = self._widen_symbols_chunks(out, [dev_keep], bs)[0]
         if self.is_v2:
             out["y_idx"] = jax.device_get(
-                self._decode_z(self.params, sym_dev["z_sym"])
+                self._decode_z(self.params, feeds["z_sym"])
             )
         # canonical decode + sweep + masks on the same chunk
-        x_hat = self._dec_fn(self.params, sym_dev["y_sym"])
+        x_hat = self._dec_fn(self.params, feeds["y_sym"])
         sweep_mask = self._sweep_mask_fn(opt_metrics, max_deltas,
                                          with_normals)
         sm_args = [self.params, out["packed_occ"], x_hat,
@@ -721,6 +763,41 @@ class BlockCodec:
             for f in futs:
                 f.result()
 
+    def warmup_cloud_shapes(self, n_list, n_metrics=1):
+        """Precompile the per-cloud-size executables (concat arities,
+        halo gathers) for clouds of the given block counts.
+
+        The per-chunk wavefront leaves a handful of whole-cloud eager
+        ops whose executables are keyed by chunk count / row count;
+        compiling them up front keeps the first encode of each cloud
+        size free of mid-run remote compiles.
+        """
+        from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
+            _halo_gather,
+            _pad_zero_rows,
+        )
+
+        bs = self.batch_blocks
+        fbytes = self.block_size ** 3 // 8
+        done = set()
+        for n in sorted(set(int(x) for x in n_list)):
+            nck = -(-n // bs)
+            if nck > 1 and nck not in done:
+                done.add(nck)
+                u8 = [jnp.zeros((bs, fbytes), jnp.uint8)] * nck
+                i16 = [jnp.zeros((bs, 4096, 3), jnp.int16)] * nck
+                self._concat_chunks(u8).block_until_ready()
+                self._concat_chunks(i16).block_until_ready()
+            rows = max(8, int(2 ** np.ceil(np.log2(nck * bs + 1))))
+            key = ("halo", rows)
+            if key in done:
+                continue
+            done.add(key)
+            ext = _pad_zero_rows(jnp.zeros((nck * bs, fbytes), jnp.uint8),
+                                 rows=rows)
+            idx = jnp.zeros((self.halo_batch, 27), jnp.int32)
+            jax.block_until_ready(_halo_gather(ext, ext, idx))
+
     def encode_blocks(self, blocks):
         """Device pass: blocks → integer symbols (+ x_hat probabilities)."""
         n = len(blocks)
@@ -783,9 +860,13 @@ class BlockCodec:
             slot = jnp.where(nz, jnp.cumsum(nz, axis=-1) - 1, nzb)
             b_i = jax.lax.broadcasted_iota(jnp.int32, nz.shape, 0)
             col = jax.lax.broadcasted_iota(jnp.int32, nz.shape, 1)
+            # positions fit uint16 at ≤64³ blocks (y grid ≤ 32768 slots);
+            # halves the dominant per-chunk host transfer
+            pos_dt = (jnp.uint16 if int(np.prod(self.y_shape)) <= 65536
+                      else jnp.int32)
             res["y_nzpos"] = jnp.zeros(
-                (nz.shape[0], nzb), jnp.int32
-            ).at[b_i, slot].set(col, mode="drop")
+                (nz.shape[0], nzb), pos_dt
+            ).at[b_i, slot].set(col.astype(pos_dt), mode="drop")
             res["y_nzval"] = jnp.zeros(
                 (nz.shape[0], nzb), jnp.int8
             ).at[b_i, slot].set(flat8, mode="drop")
@@ -969,22 +1050,38 @@ class BlockCodec:
                 parts.append(nc)
             return parts
 
-        arrays = [pts_chunker]
         tlog("host prep (flatten/pack) done")
         t0 = time.time()
-        # analysis pass: full-width symbols, occupancy and point lists
-        # stay on device (later passes never re-upload them); the host
-        # receives int8 symbols + per-block wide counts
-        keep = ("packed_occ", "y_sym_full", "pts16", "y_sym")
+        # --- phase A: analysis pass, wavefront form -----------------------
+        # One jitted dispatch per chunk; full-width symbols, occupancy and
+        # point lists stay on device PER CHUNK (later passes consume the
+        # chunk arrays directly — the old concat-then-reslice dance cost
+        # two eager device ops per tensor per chunk, each a synchronous
+        # tunnel round-trip); host outputs stream back on fetch threads
+        # while later chunks compute.
+        keep = ["packed_occ", "y_sym_full", "pts16", "y_sym"]
         if self.is_v2:
-            keep += ("z_sym_full",)
+            keep += ["z_sym_full"]
         if with_normals:
-            keep += ("nrm",)
-        copies = ("z_sym",) if self.is_v2 else ()
-        out, dev_keep = self._run_chunked(
-            self._encode_syms_fn(with_normals, point_budget=budget),
-            arrays, n, keep_device=keep, device_copies=copies,
-        )
+            keep += ["nrm"]
+        syms_fn = self._encode_syms_fn(with_normals, point_budget=budget)
+        nck = -(-n // bs)
+        fetchers = ThreadPoolExecutor(min(4, nck))
+        syms_dev, syms_futs = [], []
+        for k, lo in enumerate(range(0, n, bs)):
+            hi = min(lo + bs, n)
+            parts = pts_chunker(lo, hi, bs)
+            dev_k, params_k = self._chunk_dev(k)
+            parts = [jax.device_put(p, dev_k) for p in parts]
+            o = syms_fn(params_k, *parts)
+            devk = {key: o.pop(key) for key in keep}
+            if self.is_v2:
+                devk["z_sym"] = o["z_sym"]  # device copy AND host fetch
+            syms_dev.append(devk)
+            syms_futs.append(fetchers.submit(jax.device_get, o))
+        out = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs)[:n],
+            *[f.result() for f in syms_futs])
         tlog("syms pass fetched")
         dup = out.pop("dup_count")
         if np.any(dup):
@@ -993,61 +1090,66 @@ class BlockCodec:
                 "voxel coordinates; dedup inputs (see cli/compress.py) — "
                 "the sparse sweep sums would silently double-count"
             )
-        sym_dev = self._widen_symbols(out, dev_keep)
+        feeds = self._widen_symbols_chunks(out, syms_dev, n)
         tlog("widen_symbols done")
         t_syms = time.time() - t0
         t_device = t_syms
 
-        # Decoder-canonical passes: CDF-row indexes and x_hat come from
-        # the SAME executables the decoder runs (same HLO → same fusion →
-        # bit-identical), the merged-decode guarantee the reference
-        # approximated with its retry loop (decompress_octree.py:64-131).
-        # Synthesis runs exactly ONCE per block; its materialized x_hat
-        # feeds the threshold sweep and all per-metric masks in the same
-        # per-chunk dispatch.
+        # --- phase B: decoder-canonical passes, one dispatch set/chunk ----
+        # CDF-row indexes and x_hat come from the SAME executables the
+        # decoder runs (same HLO → same fusion → bit-identical), the
+        # merged-decode guarantee the reference approximated with its
+        # retry loop (decompress_octree.py:64-131). Synthesis runs exactly
+        # ONCE per block; its materialized x_hat feeds the threshold sweep
+        # and all per-metric masks in the same per-chunk dispatch.
         t0 = time.time()
         opt_names = [f"{m}_{d}" for d in max_deltas for m in opt_metrics]
         n_metrics = len(opt_names)
-        fin_z = None
-        if self.is_v2:
-            # dispatch only — the y_idx fetch (the biggest host transfer
-            # left) completes underneath the dec+sweep pass's compute
-            fin_z = self._run_chunked(
-                self._decode_z, [sym_dev["z_sym"]], n, defer=True
-            )
-            tlog("decode_z dispatched")
         sweep_mask = self._sweep_mask_fn(opt_metrics, max_deltas,
                                          with_normals)
-
-        def dec_sweep(params, y_chunk, occ_chunk, pts_chunk, *nrm_chunk):
-            x_hat = self._dec_fn(params, y_chunk)
-            return sweep_mask(params, occ_chunk, x_hat, pts_chunk,
-                              *nrm_chunk)
-
-        arrays2 = [sym_dev["y_sym"], dev_keep["packed_occ"],
-                   dev_keep["pts16"]]
-        if with_normals:
-            arrays2.append(dev_keep["nrm"])
-        mask_keys = tuple(f"masks{m}" for m in range(n_metrics))
-        fin_sweep = self._run_chunked(
-            dec_sweep, arrays2, n, keep_device=mask_keys, defer=True,
-        )
+        yidx_futs, sweep_futs = [], []
+        mask_chunks = [[] for _ in range(n_metrics)]
+        for k in range(nck):
+            _, params_k = self._chunk_dev(k)
+            if self.is_v2:
+                yi = self._decode_z(params_k, feeds[k]["z_sym"])
+                yidx_futs.append(fetchers.submit(jax.device_get, yi))
+            x_hat = self._dec_fn(params_k, feeds[k]["y_sym"])
+            nrm_k = ((syms_dev[k]["nrm"],) if with_normals else ())
+            res = sweep_mask(params_k, syms_dev[k]["packed_occ"], x_hat,
+                             syms_dev[k]["pts16"], *nrm_k)
+            for m in range(n_metrics):
+                mask_chunks[m].append(res.pop(f"masks{m}"))
+            sweep_futs.append(fetchers.submit(jax.device_get, res))
         tlog("dec+sweep dispatched")
-        if fin_z is not None:
-            out["y_idx"] = fin_z()
+        if self.is_v2:
+            out["y_idx"] = np.concatenate(
+                [f.result() for f in yidx_futs])[:n]
             tlog("y_idx fetched")
-        out2, mask_dev = fin_sweep()
+        out2 = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs)[:n],
+            *[f.result() for f in sweep_futs])
         tlog("sweep results fetched")
+
+        # full-cloud device arrays (halo metrics gather across chunk
+        # boundaries): ONE concat per tensor; rows past n are padding and
+        # are never indexed (block indexes stay < n everywhere)
+        packed_dev_by_metric = [
+            self._concat_chunks(mask_chunks[m]) for m in range(n_metrics)
+        ]
+        occ_cat = self._concat_chunks(
+            [d["packed_occ"] for d in syms_dev])
+        pts_cat = self._concat_chunks([d["pts16"] for d in syms_dev])
+
         overflow = out2.pop("overflow", None)
         if overflow is not None and np.any(overflow):
             self._rerun_overflowed(
-                np.nonzero(overflow)[0], out2, mask_dev, sym_dev, dev_keep,
-                opt_metrics, max_deltas, with_normals, n_metrics,
+                np.nonzero(overflow)[0], out2, packed_dev_by_metric,
+                feeds, syms_dev, opt_metrics, max_deltas, with_normals,
+                n_metrics,
             )
             tlog("overflow rerun done")
         picks = np.asarray(out2["picks"])
-        packed_dev_by_metric = [mask_dev[f"masks{m}"]
-                                for m in range(n_metrics)]
         t_dec_sweep = time.time() - t0
         t_device += t_dec_sweep
 
@@ -1070,10 +1172,10 @@ class BlockCodec:
         t_unpack = time.time() - t0
         t0 = time.time()
         metadata = self._select_best_device(
-            binstr, x_hat_points, dev_keep["packed_occ"],
+            binstr, x_hat_points, occ_cat,
             packed_dev_by_metric, opt_names, points, resolution, level,
             need_metrics=need_metrics,
-            pts_dev=dev_keep["pts16"],
+            pts_dev=pts_cat,
             nrm_host=(pack_attrs(blocks, [3, 4, 5], budget)
                       if with_normals else None),
         )
@@ -1082,6 +1184,7 @@ class BlockCodec:
         t0 = time.time()
         strings_list = [f.result() for f in strings_futs]
         entropy_pool.shutdown()
+        fetchers.shutdown()
         t_entropy = t_entropy_submit + (time.time() - t0)
         logger.info(
             "compress_blocks_device_opt(%d blocks): device %.2fs "
@@ -1095,42 +1198,81 @@ class BlockCodec:
         ]
         return data_list, metadata
 
-    def _rerun_overflowed(self, idx, out2, mask_dev, sym_dev, dev_keep,
-                          opt_metrics, max_deltas, with_normals, n_metrics):
+    def _chunk_dev(self, k):
+        """(device, params) for chunk k under the round-robin block dp."""
+        if self.devices:
+            d = self.devices[k % len(self.devices)]
+            return d, self._params_per_dev[k % len(self.devices)]
+        return None, self.params
+
+    def _concat_chunks(self, parts):
+        """One device concat of per-chunk arrays (rows past n = padding).
+
+        Multi-device chunks collect onto device 0 first. The concat is an
+        eager op — ONE synchronous tunnel round-trip per tensor per cloud
+        (arity is the chunk count, so at most a handful of executables
+        ever compile).
+        """
+        if len(parts) == 1:
+            return parts[0]
+        if self.devices:
+            parts = [jax.device_put(p, self.devices[0]) for p in parts]
+        return jnp.concatenate(parts)
+
+    def _rerun_overflowed(self, idx, out2, packed_dev_by_metric, feeds,
+                          syms_dev, opt_metrics, max_deltas, with_normals,
+                          n_metrics):
         """Re-run bucket-overflowed blocks through the exact XLA sweep.
 
         A block overflows when more than ``bucket_k`` voxels sit above
-        thresholds[0] (e.g. a divergent model emitting diffuse
-        probabilities everywhere). Its bucket picks/masks are invalid, so
-        the decoder-canonical decode + exact sweep re-runs for just those
-        blocks and splices picks / positions / packed masks in place —
-        the common case never pays for the possibility.
+        thresholds[0] (dense scan blocks, or a divergent model emitting
+        diffuse probabilities everywhere). Its bucket picks/masks are
+        invalid, so the decoder-canonical decode + exact sweep re-runs
+        for just those blocks and splices picks / positions / packed
+        masks in place — the common case never pays for the possibility.
+
+        Shape-stability: gathers run per source chunk at the fixed batch
+        width (local indexes padded with their first entry), and the
+        mask scatter uses a bs-wide index vector whose padding rewrites
+        row idx[0] with its own value — every executable here is
+        compiled once, not once per overflow count.
         """
         logger.info("bucket sweep overflow: re-running %d block(s) on the "
                     "exact XLA backend", len(idx))
         fb = self._sweep_mask_fn(opt_metrics, max_deltas, with_normals,
                                  backend="xla")
-        params = self._params_per_dev[0] if self.devices else self.params
         bs = self.batch_blocks
-        for lo in range(0, len(idx), bs):
-            sel = idx[lo:lo + bs]
-            pad = np.concatenate([sel, np.full(bs - len(sel), sel[0])])
-            gather = jnp.asarray(pad)
-            y = jnp.take(sym_dev["y_sym"], gather, axis=0)
-            occ = jnp.take(dev_keep["packed_occ"], gather, axis=0)
-            pts = jnp.take(dev_keep["pts16"], gather, axis=0)
-            nrm = ((jnp.take(dev_keep["nrm"], gather, axis=0),)
+        idx = np.asarray(idx)
+        for k in sorted(set(idx // bs)):
+            sel = idx[idx // bs == k]
+            kk = len(sel)
+            loc = (sel - k * bs).astype(np.int32)
+            gather = jnp.asarray(np.concatenate(
+                [loc, np.full(bs - kk, loc[0], np.int32)]))
+            _, params_k = self._chunk_dev(k)
+            y = jnp.take(feeds[k]["y_sym"], gather, axis=0)
+            occ = jnp.take(syms_dev[k]["packed_occ"], gather, axis=0)
+            pts = jnp.take(syms_dev[k]["pts16"], gather, axis=0)
+            nrm = ((jnp.take(syms_dev[k]["nrm"], gather, axis=0),)
                    if with_normals else ())
-            x_hat = self._dec_fn(params, y)
-            res = fb(params, occ, x_hat, pts, *nrm)
-            js = jnp.asarray(sel)
-            k = len(sel)
-            out2["picks"][sel] = np.asarray(res["picks"])[:k]
+            x_hat = self._dec_fn(params_k, y)
+            res = fb(params_k, occ, x_hat, pts, *nrm)
+            host = jax.device_get({key: v for key, v in res.items()
+                                   if not key.startswith("masks")})
+            out2["picks"][sel] = host["picks"][:kk]
+            # padding rows scatter row sel[0]'s own values again —
+            # duplicate writes of identical data, deterministic
+            js = jnp.asarray(np.concatenate(
+                [sel, np.full(bs - kk, sel[0], sel.dtype)]).astype(
+                    np.int32))
             for m in range(n_metrics):
-                out2[f"pos{m}"][sel] = np.asarray(res[f"pos{m}"])[:k]
-                out2[f"count{m}"][sel] = np.asarray(res[f"count{m}"])[:k]
-                mask_dev[f"masks{m}"] = (
-                    mask_dev[f"masks{m}"].at[js].set(res[f"masks{m}"][:k])
+                out2[f"pos{m}"][sel] = host[f"pos{m}"][:kk]
+                out2[f"count{m}"][sel] = host[f"count{m}"][:kk]
+                rows = res[f"masks{m}"]
+                if self.devices:
+                    rows = jax.device_put(rows, self.devices[0])
+                packed_dev_by_metric[m] = (
+                    packed_dev_by_metric[m].at[js].set(rows)
                 )
 
     def _d1_full_cloud_metrics(self, occ_packed, mask_packed, origins,

@@ -37,6 +37,18 @@ __all__ = ["neighbor_table", "blockwise_d1_sums", "d1_metrics_from_sums",
            "resolve_outliers", "blockwise_nn_offsets", "blockwise_d2_metrics"]
 
 
+def _pow2_pad_idx(idx, total):
+    """Pad an index vector to the next pow2 length (shape-stable device
+    gathers — novel shapes cost a remote compile per cloud)."""
+    k = len(idx)
+    m = max(8, int(2 ** np.ceil(np.log2(max(k, 1)))))
+    if total:
+        m = min(m, max(8, int(2 ** np.ceil(np.log2(total)))))
+    m = max(m, k)
+    return np.concatenate([idx, np.full(m - k, idx[0] if k else 0,
+                                        idx.dtype)])
+
+
 def neighbor_table(origins, block_size):
     """[N, 27] int32 indices of each block's 3³ neighborhood (-1 = absent).
 
@@ -152,6 +164,21 @@ def _halo_dir_chunk_pallas(qry_nb, tgt_nb, *, size, halo, interpret=False):
                               interpret=interpret)
 
 
+@jax.jit
+def _halo_gather(a_ext, b_ext, idx):
+    """27-neighborhood gathers for one halo chunk, in one dispatch."""
+    return jnp.take(a_ext, idx, axis=0), jnp.take(b_ext, idx, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _pad_zero_rows(a, *, rows):
+    """Zero-pad to a pow2 row count: keeps the downstream gather
+    executable's shape stable across cloud sizes (any padding row serves
+    as the absent-neighbor zero target)."""
+    pad = jnp.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)
+    return jnp.concatenate([a, pad])
+
+
 def _halo_d1_chunk(a_nb, b_nb, *, size, halo, backend="xla",
                    interpret=False):
     """Both directional D1 partial sums for one block chunk.
@@ -195,25 +222,30 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
     nb = neighbor_table(origins, size)
     a_dev = jnp.asarray(a_packed)
     b_dev = jnp.asarray(b_packed)
-    zero_row = jnp.zeros((1, a_dev.shape[1]), a_dev.dtype)
-    # -1 (absent) gathers the appended zero row
-    a_ext = jnp.concatenate([a_dev, zero_row])
-    b_ext = jnp.concatenate([b_dev, zero_row])
-    nb_j = jnp.asarray(np.where(nb < 0, n, nb))
+    # -1 (absent) gathers a zero padding row; a_packed may carry padding
+    # rows past n (per-chunk concat in the codec) — they are never
+    # referenced since nb entries stay < n. Pow2 row padding keeps the
+    # gather executable shape-stable across cloud sizes.
+    rows = max(8, int(2 ** np.ceil(np.log2(len(a_dev) + 1))))
+    a_ext = _pad_zero_rows(a_dev, rows=rows)
+    b_ext = _pad_zero_rows(b_dev, rows=rows)
+    zr = len(a_dev)  # first padding row — all-zero by construction
+    nb_h = np.where(nb < 0, zr, nb).astype(np.int32)
     t_prep = time.time() - t_prep0
 
     t0 = time.time()
     outs = []
     for lo in range(0, n, batch):
         hi = min(lo + batch, n)
-        idx = nb_j[lo:hi]
+        idx = nb_h[lo:hi]
         if hi - lo < batch:
-            idx = jnp.concatenate(
-                [idx, jnp.full((batch - (hi - lo), 27), n, jnp.int32)]
+            idx = np.concatenate(
+                [idx, np.full((batch - (hi - lo), 27), zr, np.int32)]
             )
-        outs.append(_halo_d1_chunk(jnp.take(a_ext, idx, axis=0),
-                                   jnp.take(b_ext, idx, axis=0),
-                                   size=size, halo=halo,
+        # neighborhood gather runs INSIDE a jitted fn: eager takes are
+        # synchronous tunnel round-trips on the remote-TPU plugin
+        a_nb, b_nb = _halo_gather(a_ext, b_ext, jnp.asarray(idx))
+        outs.append(_halo_d1_chunk(a_nb, b_nb, size=size, halo=halo,
                                    backend=backend))
     t_dispatch = time.time() - t0
     # fetch scalars as ONE device-concatenated transfer per key (fetching
@@ -233,7 +265,11 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
         if not len(flagged):
             continue
         full = jnp.concatenate([o[f"{tag}_unres"] for o in outs])[:n]
-        rows = np.asarray(jnp.take(full, jnp.asarray(flagged), axis=0))
+        # pow2-padded gather: per-cloud flagged counts would compile a
+        # fresh remote executable every cloud
+        pad = _pow2_pad_idx(flagged.astype(np.int32), n)
+        rows = np.asarray(jnp.take(full, jnp.asarray(pad),
+                                   axis=0))[:len(flagged)]
         # vectorized: one unpack + one argwhere per bounded chunk (a
         # per-row Python loop measured 10+ s on large clouds)
         for lo in range(0, len(flagged), 256):
@@ -304,7 +340,10 @@ def blockwise_nn_offsets(qry_pts, tgt_packed, origins, size, halo=12,
     tgt_dev = jnp.asarray(tgt_packed)
     zero_row = jnp.zeros((1, tgt_dev.shape[1]), tgt_dev.dtype)
     tgt_ext = jnp.concatenate([tgt_dev, zero_row])
-    nb_j = jnp.asarray(np.where(nb < 0, n, nb))
+    # tgt_packed may carry chunk-padding rows past n (codec wavefront):
+    # the absent-neighbor target is the appended TRUE zero row, not row n
+    zr = len(tgt_dev)
+    nb_j = jnp.asarray(np.where(nb < 0, zr, nb))
     qry = qry_pts if isinstance(qry_pts, jax.Array) else jnp.asarray(qry_pts)
     outs = []
     for lo in range(0, n, batch):
@@ -313,7 +352,7 @@ def blockwise_nn_offsets(qry_pts, tgt_packed, origins, size, halo=12,
         q = qry[lo:hi]
         if hi - lo < batch:
             idx = jnp.concatenate(
-                [idx, jnp.full((batch - (hi - lo), 27), n, jnp.int32)])
+                [idx, jnp.full((batch - (hi - lo), 27), zr, jnp.int32)])
             q = jnp.concatenate(
                 [q, jnp.full((batch - (hi - lo),) + q.shape[1:], -1,
                              q.dtype)])
@@ -372,8 +411,9 @@ def blockwise_d2_metrics(a_pts, a_nrm, b_packed, b_blocks, origins, size,
         budget = max(int(2 ** np.ceil(np.log2(
             max(len(b) for b in b_blocks)))), 64)
         qry_b, _ = pack_points(b_blocks, max_points=budget)
-    # original occupancy re-packed from the A point lists
-    a_host = np.asarray(jax.device_get(a_pts))
+    # original occupancy re-packed from the A point lists (trim any
+    # chunk-padding rows past the origin count)
+    a_host = np.asarray(jax.device_get(a_pts))[:len(origins)]
     occ_a = np.zeros((len(origins), size ** 3), np.uint8)
     av = np.all((a_host >= 0) & (a_host < size), axis=-1)
     bi, pi = np.nonzero(av)

@@ -115,9 +115,13 @@ def _make_tap_fn(d: int, h: int, w: int, g: int, c: int):
     SAME k3 s1 conv.
     """
     wq = w // g  # rows per h step; h·wq rows per d step
+    coords_cache = {}
 
     def shift(x, dz, dy, dx):
-        ww, hh, dd = _voxel_coords(x.shape[0], h, w, g, c)
+        # hoisted across the 27 taps: the coord iotas are shape-only
+        if x.shape[0] not in coords_cache:
+            coords_cache[x.shape[0]] = _voxel_coords(x.shape[0], h, w, g, c)
+        ww, hh, dd = coords_cache[x.shape[0]]
         # --- dx: lane roll by c, cross-group borrow from adjacent row
         if dx != 0:
             lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -403,6 +407,10 @@ def fused_residual_tail_slab(x, w1, b1, w2, b2, *, spatial: int,
             pltpu.VMEM(((slab + 4) * srows, LANES), dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the two conv working sets exceed Mosaic's 16 MB default scoped-
+        # vmem budget at 64³×16; v5e VMEM is 128 MB — raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xpad, w1p, b1p, w2p, b2p)
     if folded_in:

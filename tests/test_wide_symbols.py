@@ -25,9 +25,13 @@ def _roundtrip(sym):
     compact = BlockCodec._compact(out_dev, narrow=True)
     dev_keep = {"y_sym_full": jnp.asarray(sym), "y_sym": compact["y_sym"]}
     host = {k: np.array(v) for k, v in jax.device_get(compact).items()}
-    ns = types.SimpleNamespace(is_v2=False)
-    sym_dev = BlockCodec._widen_symbols(ns, host, dev_keep)
-    return host["y_sym"], np.asarray(sym_dev["y_sym"])
+    ns = types.SimpleNamespace(is_v2=False, batch_blocks=len(sym),
+                               _cast16=lambda a: a.astype(jnp.int16))
+    ns._gather_full_rows = types.MethodType(
+        BlockCodec._gather_full_rows, ns)
+    feeds = BlockCodec._widen_symbols_chunks(ns, host, [dev_keep],
+                                             len(sym))
+    return host["y_sym"], np.asarray(feeds[0]["y_sym"])
 
 
 def _base_syms(seed=0):
