@@ -231,7 +231,8 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
     # compile + warm every executable (same shapes as the timed run)
     codec.warmup(clouds[0][1], point_budget=budget,
                  flat_budget=flat_budget)
-    codec.warmup_cloud_shapes([len(blocks) for _, blocks, _ in clouds])
+    codec.warmup_cloud_shapes([len(blocks) for _, blocks, _ in clouds],
+                              point_budget=budget)
     log("warmup done")
 
     # BENCH_PIPELINE=k (default 2): k clouds in flight — one cloud's host

@@ -16,6 +16,8 @@ exactly; see ``utils/threshold.py``.
 from __future__ import annotations
 
 import logging
+import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -746,7 +748,27 @@ class BlockCodec:
                     self.params,
                     jnp.zeros((bs,) + tuple(self.z_shape), jnp.int16)))
 
-        with ThreadPoolExecutor(5) as pool:
+        def warm_rerun():
+            # the overflow-rerun path (bucket backend only) gathers a
+            # bs-wide batch out of each source chunk with jnp.take —
+            # three fresh gather executables whose first compile
+            # otherwise lands in the MIDDLE of the first overflowing
+            # cloud (measured 19 s on real TPU, bench r3). The exact
+            # sweep itself is warmed by the parity gate above.
+            if self.sweep_backend != "bucket" or with_normals:
+                return
+            gather = jnp.zeros((bs,), jnp.int32)
+            occ_dev = jnp.asarray(out["packed_occ"])
+            taken = [
+                jnp.take(feeds["y_sym"], gather, axis=0),
+                jnp.take(occ_dev, gather, axis=0),
+                jnp.take(dev_keep["pts16"], gather, axis=0),
+                occ_dev.at[gather].set(jnp.zeros_like(occ_dev)),
+            ]
+            for t in taken:
+                jax.block_until_ready(t)
+
+        with ThreadPoolExecutor(6) as pool:
             if gate_bucket:
                 exact = self._sweep_mask_fn(opt_metrics, max_deltas,
                                             with_normals, backend="xla")
@@ -756,6 +778,7 @@ class BlockCodec:
                 pool.submit(warm_sweep),
                 pool.submit(self.decompress_blocks, payload),
                 pool.submit(warm_wide_dec),
+                pool.submit(warm_rerun),
                 pool.submit(blockwise_d1_sums, packed, packed, origins,
                             self.block_size, halo=self.halo_width,
                             batch=self.halo_batch),
@@ -763,14 +786,16 @@ class BlockCodec:
             for f in futs:
                 f.result()
 
-    def warmup_cloud_shapes(self, n_list, n_metrics=1):
+    def warmup_cloud_shapes(self, n_list, n_metrics=1, point_budget=4096):
         """Precompile the per-cloud-size executables (concat arities,
-        halo gathers) for clouds of the given block counts.
+        halo gathers, overflow-rerun gathers/scatter) for clouds of the
+        given block counts.
 
         The per-chunk wavefront leaves a handful of whole-cloud eager
         ops whose executables are keyed by chunk count / row count;
         compiling them up front keeps the first encode of each cloud
-        size free of mid-run remote compiles.
+        size free of mid-run remote compiles. ``point_budget`` must match
+        the pack width the encode will run with (pts16 row length).
         """
         from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
             _halo_gather,
@@ -785,9 +810,22 @@ class BlockCodec:
             if nck > 1 and nck not in done:
                 done.add(nck)
                 u8 = [jnp.zeros((bs, fbytes), jnp.uint8)] * nck
-                i16 = [jnp.zeros((bs, 4096, 3), jnp.int16)] * nck
-                self._concat_chunks(u8).block_until_ready()
-                self._concat_chunks(i16).block_until_ready()
+                i16 = [jnp.zeros((bs, point_budget, 3), jnp.int16)] * nck
+                i8y = [jnp.zeros((bs,) + tuple(self.y_shape), jnp.int8)
+                       ] * nck
+                occ_cat = self._concat_chunks(u8)
+                pts_cat = self._concat_chunks(i16)
+                y_cat = self._concat_chunks(i8y)
+                # overflow-rerun executables at this chunk count: three
+                # bs-wide gathers out of the cloud concats + the packed-
+                # mask scatter back in (see _rerun_overflowed)
+                g = jnp.zeros((bs,), jnp.int32)
+                for t in (jnp.take(y_cat, g, axis=0),
+                          jnp.take(occ_cat, g, axis=0),
+                          jnp.take(pts_cat, g, axis=0),
+                          occ_cat.at[g].set(
+                              jnp.zeros((bs, fbytes), jnp.uint8))):
+                    jax.block_until_ready(t)
             rows = max(8, int(2 ** np.ceil(np.log2(nck * bs + 1))))
             key = ("halo", rows)
             if key in done:
@@ -1143,10 +1181,13 @@ class BlockCodec:
 
         overflow = out2.pop("overflow", None)
         if overflow is not None and np.any(overflow):
+            y_cat = self._concat_chunks([f["y_sym"] for f in feeds])
+            nrm_cat = (self._concat_chunks([d["nrm"] for d in syms_dev])
+                       if with_normals else None)
             self._rerun_overflowed(
                 np.nonzero(overflow)[0], out2, packed_dev_by_metric,
-                feeds, syms_dev, opt_metrics, max_deltas, with_normals,
-                n_metrics,
+                y_cat, occ_cat, pts_cat, nrm_cat, opt_metrics,
+                max_deltas, with_normals, n_metrics,
             )
             tlog("overflow rerun done")
         picks = np.asarray(out2["picks"])
@@ -1219,9 +1260,9 @@ class BlockCodec:
             parts = [jax.device_put(p, self.devices[0]) for p in parts]
         return jnp.concatenate(parts)
 
-    def _rerun_overflowed(self, idx, out2, packed_dev_by_metric, feeds,
-                          syms_dev, opt_metrics, max_deltas, with_normals,
-                          n_metrics):
+    def _rerun_overflowed(self, idx, out2, packed_dev_by_metric, y_cat,
+                          occ_cat, pts_cat, nrm_cat, opt_metrics,
+                          max_deltas, with_normals, n_metrics):
         """Re-run bucket-overflowed blocks through the exact XLA sweep.
 
         A block overflows when more than ``bucket_k`` voxels sit above
@@ -1231,11 +1272,15 @@ class BlockCodec:
         for just those blocks and splices picks / positions / packed
         masks in place — the common case never pays for the possibility.
 
-        Shape-stability: gathers run per source chunk at the fixed batch
-        width (local indexes padded with their first entry), and the
-        mask scatter uses a bs-wide index vector whose padding rewrites
-        row idx[0] with its own value — every executable here is
-        compiled once, not once per overflow count.
+        Overflowed blocks gather ACROSS chunk boundaries out of the
+        cloud-wide device concats into one bs-wide batch per ceil(k/bs)
+        — the earlier per-source-chunk rerun paid a full bs-wide exact
+        sweep (~3 s device) for EVERY chunk an overflow landed in, which
+        measured 16-28 s/cloud on real TPU at the bench's typical 3-6%
+        overflow rate. Gathers pad with their first entry and the mask
+        scatter's padding rows rewrite row idx[0] with its own value —
+        every executable here is compiled once per cloud chunk-count,
+        not once per overflow count (warmed by ``warmup_cloud_shapes``).
         """
         logger.info("bucket sweep overflow: re-running %d block(s) on the "
                     "exact XLA backend", len(idx))
@@ -1243,28 +1288,26 @@ class BlockCodec:
                                  backend="xla")
         bs = self.batch_blocks
         idx = np.asarray(idx)
-        for k in sorted(set(idx // bs)):
-            sel = idx[idx // bs == k]
+        params0 = (self._params_per_dev[0] if self.devices
+                   else self.params)
+        for lo in range(0, len(idx), bs):
+            sel = idx[lo: lo + bs]
             kk = len(sel)
-            loc = (sel - k * bs).astype(np.int32)
-            gather = jnp.asarray(np.concatenate(
-                [loc, np.full(bs - kk, loc[0], np.int32)]))
-            _, params_k = self._chunk_dev(k)
-            y = jnp.take(feeds[k]["y_sym"], gather, axis=0)
-            occ = jnp.take(syms_dev[k]["packed_occ"], gather, axis=0)
-            pts = jnp.take(syms_dev[k]["pts16"], gather, axis=0)
-            nrm = ((jnp.take(syms_dev[k]["nrm"], gather, axis=0),)
+            pad = np.concatenate(
+                [sel, np.full(bs - kk, sel[0], sel.dtype)]
+            ).astype(np.int32)
+            gather = jnp.asarray(pad)
+            y = jnp.take(y_cat, gather, axis=0)
+            occ = jnp.take(occ_cat, gather, axis=0)
+            pts = jnp.take(pts_cat, gather, axis=0)
+            nrm = ((jnp.take(nrm_cat, gather, axis=0),)
                    if with_normals else ())
-            x_hat = self._dec_fn(params_k, y)
-            res = fb(params_k, occ, x_hat, pts, *nrm)
+            x_hat = self._dec_fn(params0, y)
+            res = fb(params0, occ, x_hat, pts, *nrm)
             host = jax.device_get({key: v for key, v in res.items()
                                    if not key.startswith("masks")})
             out2["picks"][sel] = host["picks"][:kk]
-            # padding rows scatter row sel[0]'s own values again —
-            # duplicate writes of identical data, deterministic
-            js = jnp.asarray(np.concatenate(
-                [sel, np.full(bs - kk, sel[0], sel.dtype)]).astype(
-                    np.int32))
+            js = jnp.asarray(pad)
             for m in range(n_metrics):
                 out2[f"pos{m}"][sel] = host[f"pos{m}"][:kk]
                 out2[f"count{m}"][sel] = host[f"count{m}"][:kk]
@@ -1490,6 +1533,15 @@ class BlockCodec:
         deterministic XLA executables make one comparison sufficient).
         """
         n = len(payload)
+        tlog = _mk_tlog(f"dec[{n}]")
+        t_all = time.time()
+        phases = {}
+
+        def mark(name, t0):
+            phases[name] = phases.get(name, 0.0) + (time.time() - t0)
+            tlog(name)
+            return time.time()
+
         thr = np.array(
             [self.thresholds[t] for _, t in payload], np.float32
         )
@@ -1502,6 +1554,7 @@ class BlockCodec:
             return self._mask_pack_coords(self._dec_fn(params, y_chunk),
                                           thr_chunk)
 
+        t0 = time.time()
         if self.is_v2:
             z_idx = self._channel_indexes(self.z_shape)
             with ThreadPoolExecutor(self.threads) as pool:
@@ -1513,7 +1566,9 @@ class BlockCodec:
                         )
                     )
                 ))
+            t0 = mark("z_rans", t0)
             dz = self._run_chunked(self._decode_z, [z_syms], n)  # y indexes
+            t0 = mark("decode_z", t0)
             with ThreadPoolExecutor(self.threads) as pool:
                 y_syms = narrow(np.stack(
                     list(
@@ -1527,6 +1582,7 @@ class BlockCodec:
                         )
                     )
                 ))
+            t0 = mark("y_rans", t0)
         else:
             y_idx = self._channel_indexes(self.y_shape)
             with ThreadPoolExecutor(self.threads) as pool:
@@ -1538,6 +1594,7 @@ class BlockCodec:
                         )
                     )
                 ))
+            t0 = mark("y_rans", t0)
         # mirror of the encoder's sparse transfer: int8 symbol batches
         # upload as a (position, value) list and scatter to the dense grid
         # on device — the SAME decode executable then consumes identical
@@ -1568,14 +1625,23 @@ class BlockCodec:
                 ).at[b_i, pos_c].add(val_c).reshape((-1,) + y_shape)
                 return dec_mask(params, y, thr_chunk)
 
+            t0 = mark("sparse_build", t0)
             outm, mdev = self._run_chunked(dec_mask_sparse,
                                            [pos, val, thr], n,
                                            keep_device=("packed",))
         else:
             outm, mdev = self._run_chunked(dec_mask, [y_syms, thr], n,
                                            keep_device=("packed",))
+        t0 = mark("dec_mask", t0)
         dec_blocks = self._points_from_pos(outm["pos"], outm["count"],
                                            mdev["packed"])
+        mark("unpack", t0)
+        if os.environ.get("PCC_TIMING", "0") >= "1":
+            logger.info(
+                "decompress_blocks(%d): total %.2fs (%s)", n,
+                time.time() - t_all,
+                ", ".join(f"{k} {v:.2f}s" for k, v in phases.items()),
+            )
         if return_debug:
             debug = {"y_sym": y_syms,
                      "packed_masks": jax.device_get(mdev["packed"])}
