@@ -55,6 +55,26 @@ __all__ = [
 LANES = 128
 
 
+def _roll(x, s, axis):
+    """Static rotate that Mosaic can lower for every dtype.
+
+    ``pltpu.roll`` lowers to ``tpu.dynamic_rotate``, which real Mosaic
+    only implements for 32-bit element types ("Rotate with non-32-bit
+    data" on bf16, observed on v5e). For narrower dtypes rebuild the
+    rotation from two static slices + one concat — static offsets, so
+    Mosaic lowers it as shifted copies.
+    """
+    n = x.shape[axis]
+    s = s % n
+    if s == 0:
+        return x
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, s, axis)
+    if axis == 0:
+        return jnp.concatenate([x[n - s:, :], x[: n - s, :]], 0)
+    return jnp.concatenate([x[:, n - s:], x[:, : n - s]], 1)
+
+
 def fold_shape(spatial: int, channels: int):
     """(rows R, group G) of the folded [R, 128] layout for a cube."""
     assert LANES % channels == 0, channels
@@ -125,21 +145,21 @@ def _make_tap_fn(d: int, h: int, w: int, g: int, c: int):
         # --- dx: lane roll by c, cross-group borrow from adjacent row
         if dx != 0:
             lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-            rolled = pltpu.roll(x, (-dx * c) % LANES, 1)
+            rolled = _roll(x, (-dx * c) % LANES, 1)
             # element needing the neighbouring row's group: lane group
             # overflowed. dx=+1: last group reads next row's group 0;
             # dx=-1: group 0 reads previous row's last group.
             if dx > 0:
-                borrow = pltpu.roll(rolled, x.shape[0] - 1, 0)  # row r+1
+                borrow = _roll(rolled, x.shape[0] - 1, 0)  # row r+1
                 x = jnp.where(lane >= LANES - c, borrow, rolled)
             else:
-                borrow = pltpu.roll(rolled, 1, 0)  # row r-1
+                borrow = _roll(rolled, 1, 0)  # row r-1
                 x = jnp.where(lane < c, borrow, rolled)
             x = jnp.where((ww + dx >= 0) & (ww + dx < w), x, 0)
         # --- dy/dz: pure row shifts
         roff = dy * wq + dz * h * wq
         if roff != 0:
-            x = pltpu.roll(x, (-roff) % x.shape[0], 0)
+            x = _roll(x, (-roff) % x.shape[0], 0)
             mask = ((hh + dy >= 0) & (hh + dy < h)
                     & (dd + dz >= 0) & (dd + dz < d))
             x = jnp.where(mask, x, 0)
