@@ -208,8 +208,13 @@ class BlockCodec:
         self.sweep_backend = sweep_backend
         # candidate budget of the bucket sweep (ops/bucket_sweep); blocks
         # with more voxels above thresholds[0] fall back to the exact XLA
-        # sweep (measured headroom: the bench model tops out ~19k)
-        self.bucket_k = 20480
+        # sweep (at 20480 every bench cloud still overflowed 9-19 dense
+        # blocks and paid a rerun; 32768 makes overflow pathological-only)
+        self.bucket_k = 32768
+        # overflow-rerun gather width: reruns pad to this sub-batch so a
+        # handful of overflowed blocks pays a narrow exact sweep, not a
+        # full batch_blocks-wide one (~4x device-time difference)
+        self.rerun_batch = 16
         # nonzero-slot budget of the sparse y-symbol transfer (trained
         # models emit ~99% zeros; measured ≤580 nonzeros/block on the
         # bench checkpoint); denser blocks re-fetch their full rows
@@ -749,24 +754,27 @@ class BlockCodec:
                     jnp.zeros((bs,) + tuple(self.z_shape), jnp.int16)))
 
         def warm_rerun():
-            # the overflow-rerun path (bucket backend only) gathers a
-            # bs-wide batch out of each source chunk with jnp.take —
-            # three fresh gather executables whose first compile
-            # otherwise lands in the MIDDLE of the first overflowing
-            # cloud (measured 19 s on real TPU, bench r3). The exact
-            # sweep itself is warmed by the parity gate above.
+            # the overflow-rerun path (bucket backend only) gathers an
+            # rb-wide batch out of the cloud concats with jnp.take, runs
+            # the canonical decode + exact sweep at width rb, and
+            # scatters the packed masks back — all fresh executables
+            # whose first compile otherwise lands in the MIDDLE of the
+            # first overflowing cloud (measured 19 s on real TPU, r3).
             if self.sweep_backend != "bucket" or with_normals:
                 return
-            gather = jnp.zeros((bs,), jnp.int32)
+            rb = min(self.rerun_batch, bs)
+            gather = jnp.zeros((rb,), jnp.int32)
             occ_dev = jnp.asarray(out["packed_occ"])
-            taken = [
-                jnp.take(feeds["y_sym"], gather, axis=0),
-                jnp.take(occ_dev, gather, axis=0),
-                jnp.take(dev_keep["pts16"], gather, axis=0),
-                occ_dev.at[gather].set(jnp.zeros_like(occ_dev)),
-            ]
-            for t in taken:
-                jax.block_until_ready(t)
+            y_t = jnp.take(feeds["y_sym"], gather, axis=0)
+            occ_t = jnp.take(occ_dev, gather, axis=0)
+            pts_t = jnp.take(dev_keep["pts16"], gather, axis=0)
+            jax.block_until_ready(
+                occ_dev.at[gather].set(jnp.zeros_like(occ_t)))
+            fbx = self._sweep_mask_fn(opt_metrics, max_deltas,
+                                      with_normals, backend="xla")
+            x_hat_t = self._dec_fn(self.params, y_t)
+            jax.block_until_ready(
+                fbx(self.params, occ_t, x_hat_t, pts_t)["picks"])
 
         with ThreadPoolExecutor(6) as pool:
             if gate_bucket:
@@ -817,14 +825,15 @@ class BlockCodec:
                 pts_cat = self._concat_chunks(i16)
                 y_cat = self._concat_chunks(i8y)
                 # overflow-rerun executables at this chunk count: three
-                # bs-wide gathers out of the cloud concats + the packed-
+                # rb-wide gathers out of the cloud concats + the packed-
                 # mask scatter back in (see _rerun_overflowed)
-                g = jnp.zeros((bs,), jnp.int32)
+                rb = min(self.rerun_batch, bs)
+                g = jnp.zeros((rb,), jnp.int32)
                 for t in (jnp.take(y_cat, g, axis=0),
                           jnp.take(occ_cat, g, axis=0),
                           jnp.take(pts_cat, g, axis=0),
                           occ_cat.at[g].set(
-                              jnp.zeros((bs, fbytes), jnp.uint8))):
+                              jnp.zeros((rb, fbytes), jnp.uint8))):
                     jax.block_until_ready(t)
             rows = max(8, int(2 ** np.ceil(np.log2(nck * bs + 1))))
             key = ("halo", rows)
@@ -1286,15 +1295,15 @@ class BlockCodec:
                     "exact XLA backend", len(idx))
         fb = self._sweep_mask_fn(opt_metrics, max_deltas, with_normals,
                                  backend="xla")
-        bs = self.batch_blocks
+        rb = min(self.rerun_batch, self.batch_blocks)
         idx = np.asarray(idx)
         params0 = (self._params_per_dev[0] if self.devices
                    else self.params)
-        for lo in range(0, len(idx), bs):
-            sel = idx[lo: lo + bs]
+        for lo in range(0, len(idx), rb):
+            sel = idx[lo: lo + rb]
             kk = len(sel)
             pad = np.concatenate(
-                [sel, np.full(bs - kk, sel[0], sel.dtype)]
+                [sel, np.full(rb - kk, sel[0], sel.dtype)]
             ).astype(np.int32)
             gather = jnp.asarray(pad)
             y = jnp.take(y_cat, gather, axis=0)
