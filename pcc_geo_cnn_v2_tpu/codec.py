@@ -578,16 +578,12 @@ class BlockCodec:
                 jnp.take(masks_dev, jnp.asarray(idx), axis=0))[:len(over)]
             tlog(f"mask rows fetched ({rows.nbytes/1e6:.1f} MB, "
                  f"{len(over)} blocks)")
-            # flat nonzero + arithmetic coord decode (a 4-D argwhere over
-            # the unpacked volume measured ~4 s/cloud on dense scans)
-            bits = np.unpackbits(rows, axis=-1, bitorder="big")
-            blk, flat = np.nonzero(bits)
-            coords = np.empty((len(flat), 3), np.float32)
-            coords[:, 0] = flat // (bsz * bsz)
-            coords[:, 1] = (flat // bsz) % bsz
-            coords[:, 2] = flat % bsz
-            splits = np.searchsorted(blk, np.arange(1, len(over)))
-            for i, c in zip(over, np.split(coords, splits)):
+            # native single-pass bit->coord decode (numpy unpackbits +
+            # nonzero measured 1.6-5.6 s/cloud on dense scans; the 4-D
+            # argwhere it replaced ~4 s/cloud)
+            from pcc_geo_cnn_v2_tpu.ops.bitunpack import unpack_mask_coords
+
+            for i, c in zip(over, unpack_mask_coords(rows, bsz)):
                 over_pts[int(i)] = c
             logger.info("%d/%d blocks over coord budget %d (mask rows "
                         "fetched)", len(over), len(count),
