@@ -40,19 +40,26 @@ def main():
               else fused_residual_tail_slab)
         try:
             t0 = time.time()
-            got = jax.jit(lambda *a: fn(
-                *a, spatial=spatial, channels=channels,
-                dtype=jnp.float32))(x, w1, b1, w2, b2)
-            got.block_until_ready()
+            # parity at HIGHEST matmul precision: the TPU default runs
+            # f32 contractions through single-pass bf16 on the MXU, so
+            # kernel-vs-XLA differences of ~5e-3 are just contraction-
+            # order rounding, not miscompiles (observed r3)
+            with jax.default_matmul_precision("highest"):
+                got = jax.jit(lambda *a: fn(
+                    *a, spatial=spatial, channels=channels,
+                    dtype=jnp.float32))(x, w1, b1, w2, b2)
+                got.block_until_ready()
             print(f"{which} {spatial}^3x{channels}: compile+run "
                   f"{time.time()-t0:.1f}s", flush=True)
         except Exception as e:
             print(f"{which} {spatial}^3x{channels} FAILED: "
                   f"{str(e)[:300]}", flush=True)
             continue
-        want = jax.nn.relu(_xla_conv(x, w1, b1, dtype=jnp.float32))
-        want = jax.nn.relu(_xla_conv(want, w2, b2, dtype=jnp.float32)) + x
-        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+        with jax.default_matmul_precision("highest"):
+            want = jax.nn.relu(_xla_conv(x, w1, b1, dtype=jnp.float32))
+            want = jax.nn.relu(
+                _xla_conv(want, w2, b2, dtype=jnp.float32)) + x
+            err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
         print(f"  max err vs XLA: {err:.2e}", flush=True)
         assert err < 1e-3, err
         # bf16 steady-state timing vs XLA chain
