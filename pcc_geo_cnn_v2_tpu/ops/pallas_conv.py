@@ -234,6 +234,12 @@ def fused_residual_tail(x, w1, b1, w2, b2, *, spatial: int, channels: int,
         scratch_shapes=[
             pltpu.VMEM((rows, LANES), dtype),  # intermediate activation
         ],
+        # the unrolled 27-tap conv body's temporaries (shift masks, coord
+        # iotas, f32 accumulators) exceed Mosaic's 16 MB default scoped-
+        # vmem budget at 32³ volumes; v5e VMEM is 128 MB — raise the cap
+        # (same fix as the slab variant)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xf, w1p, b1p, w2p, b2p)
     if folded_in:

@@ -27,7 +27,9 @@ def main():
     print(f"tunnel warmup {time.time()-t0:.0f}s", flush=True)
 
     k = jax.random.split(jax.random.PRNGKey(0), 5)
-    for spatial, channels, which in [(32, 16, "whole"), (32, 32, "whole"),
+    # whole sizes = every ≤MAX_FUSED_ROWS tail stage of the c3p stacks
+    for spatial, channels, which in [(8, 64, "whole"), (16, 32, "whole"),
+                                     (32, 16, "whole"), (32, 32, "whole"),
                                      (64, 16, "slab")]:
         n = 2
         x = jax.random.uniform(k[0], (n, spatial, spatial, spatial,
@@ -53,7 +55,7 @@ def main():
                   f"{time.time()-t0:.1f}s", flush=True)
         except Exception as e:
             print(f"{which} {spatial}^3x{channels} FAILED: "
-                  f"{str(e)[:300]}", flush=True)
+                  f"{str(e)[:2500]}", flush=True)
             continue
         with jax.default_matmul_precision("highest"):
             want = jax.nn.relu(_xla_conv(x, w1, b1, dtype=jnp.float32))
