@@ -212,10 +212,22 @@ def main():
             return f"n/a ({e})"
 
     lambdas = sorted({r["lmbda"] for r in results})
+    # mirror of the reference's bd_ignore mask (ev_experiment.yml:115
+    # drops 'c4-ws/1.00e-05'): an undertrained low-λ model can produce an
+    # empty reconstruction on a cloud (fixed threshold 0.5 clears nothing
+    # → D1 PSNR = −inf). Exclude non-finite cloud-points from the per-λ
+    # average — BD interpolation over a −inf point is nan — and record
+    # what was dropped. A λ with no finite cloud at all is dropped whole.
+    ignored = [
+        {"lmbda": r["lmbda"], "pc_name": r["pc_name"], "bpp": r["bpp"]}
+        for r in results if not np.isfinite(r["d1_psnr"])
+    ]
     avg = [
-        (float(np.mean([r["bpp"] for r in results if r["lmbda"] == l])),
-         float(np.mean([r["d1_psnr"] for r in results if r["lmbda"] == l])))
+        (float(np.mean([r["bpp"] for r in pts])),
+         float(np.mean([r["d1_psnr"] for r in pts])))
         for l in lambdas
+        if (pts := [r for r in results
+                    if r["lmbda"] == l and np.isfinite(r["d1_psnr"])])
     ]
     scales = sorted({r["scale"] for r in anchor_results}, reverse=True)
     anchor_avg = [
@@ -226,6 +238,7 @@ def main():
         for s in scales
     ]
     report = {"points": results, "avg_curve": avg,
+              "bd_ignore_points": ignored,
               "anchor_points": anchor_results,
               "anchor_avg_curve": anchor_avg,
               "bd_vs_builtin_octree_anchor": {

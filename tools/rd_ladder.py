@@ -53,8 +53,11 @@ def main():
             continue
         rep = json.loads(p.read_text())
         ours = [tuple(q) for q in rep["avg_curve"]]
+        ours = [q for q in ours if np.isfinite(q[0]) and np.isfinite(q[1])]
         try:
             bd = float(bdsnr(anchor, ours))
+            if not np.isfinite(bd):
+                bd = f"n/a (bdsnr={bd})"
         except Exception as e:  # noqa: BLE001 - disjoint ranges etc.
             bd = f"n/a ({e})"
         rows.append({"run_id": run_id,
