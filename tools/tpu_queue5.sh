@@ -37,5 +37,10 @@ step() {  # step <name> <timeout_s> <cmd...>
 step bench 2400 env PCC_TIMING=1 BENCH_PIPELINE=2 python -u bench.py
 step conv  1800 python -u tools/profile_conv.py --config c3p
 step slab  1800 python -u tools/check_slab_tpu.py
+# A/B: fused Pallas conv backend end-to-end on a reduced cloud set
+# (same protocol otherwise; compare blocks/s + PCC_TIMING phases vs
+# the xla-backend run above on its first 3 clouds)
+step benchpl 1800 env PCC_TIMING=1 BENCH_PIPELINE=2 BENCH_NUM_CLOUDS=3 \
+  BENCH_CONV_BACKEND=pallas python -u bench.py
 
 echo "[queue5] ALL DONE $(date -u)"
