@@ -34,6 +34,14 @@ step() {  # step <name> <timeout_s> <cmd...>
   return 0
 }
 
+# Fix-up: queue4's eval_c3p9 looked in models/rd/c3p-a0.9 but the
+# trainer's run-id rule (alpha==0.9 -> bare config name) saved the a0.9
+# checkpoints to models/rd/c3p. Re-run the eval against the right root,
+# then rebuild the ladder table with all five rungs present.
+step eval_c3p9fix 2400 python -u tools/rd_eval.py models/rd/c3p \
+  --config c3p --run_id c3p-a0.9 --fixed_threshold --seeds 200 201 202
+step ladder2 600 python -u tools/rd_ladder.py
+
 step bench 2400 env PCC_TIMING=1 BENCH_PIPELINE=2 python -u bench.py
 step conv  1800 python -u tools/profile_conv.py --config c3p
 step slab  1800 python -u tools/check_slab_tpu.py
