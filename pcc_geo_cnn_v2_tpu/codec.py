@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pcc_geo_cnn_v2_tpu.aot import aot_jit
 from pcc_geo_cnn_v2_tpu.coding import range_coder as rc
 from pcc_geo_cnn_v2_tpu.models.codec_models import (
     CompressionModelV1,
@@ -211,10 +212,12 @@ class BlockCodec:
         # sweep (at 20480 every bench cloud still overflowed 9-19 dense
         # blocks and paid a rerun; 32768 makes overflow pathological-only)
         self.bucket_k = 32768
-        # overflow-rerun gather width: reruns pad to this sub-batch so a
-        # handful of overflowed blocks pays a narrow exact sweep, not a
-        # full batch_blocks-wide one (~4x device-time difference)
-        self.rerun_batch = 16
+        # NOTE the overflow rerun must run the canonical decode at the
+        # SAME batch width as every other _dec_fn call (batch_blocks): a
+        # differently-shaped conv executable may reassociate
+        # accumulations on TPU, flipping borderline mask bits and
+        # breaking the decoder-bit-exactness contract (observed on real
+        # hardware when a 16-wide rerun was tried, r3 bench 03:38).
         # nonzero-slot budget of the sparse y-symbol transfer (trained
         # models emit ~99% zeros; measured ≤580 nonzeros/block on the
         # bench checkpoint); denser blocks re-fetch their full rows
@@ -240,10 +243,15 @@ class BlockCodec:
         # traced ARGUMENTS of every jitted pass, so swapping them later
         # reuses all compiled executables — see set_params.)
         size = self.block_size
-        self._encode = jax.jit(
+        # cross-process executable cache ($PCC_AOT_CACHE, see aot.py);
+        # deserialized executables are device-bound, so multi-device
+        # round-robin instances stay on the plain jit path
+        self._aot_ok = not self.devices or len(self.devices) <= 1
+        self._encode = aot_jit(
             lambda params, pts: self.model.apply(
                 params, voxelize(pts, size), method=self.model.encode
-            )
+            ),
+            name="encode", enabled=self._aot_ok,
         )
         self._encode_syms_cache = {}
         self._sweep_mask_cache = {}
@@ -294,24 +302,28 @@ class BlockCodec:
             return {"packed": packed, "pos": pos, "count": count}
 
         self._mask_coords_raw = _mask_pack_coords  # for use inside jits
-        self._mask_pack_coords = jax.jit(_mask_pack_coords)
+        self._mask_pack_coords = aot_jit(_mask_pack_coords, name="mask_pack",
+                                         enabled=self._aot_ok)
         # canonical-feed casts for wide clouds (jitted: eager dtype casts
         # are synchronous tunnel round-trips)
         self._cast16 = jax.jit(lambda a: a.astype(jnp.int16))
         if self.is_v2:
-            self._decode_z = jax.jit(
+            self._decode_z = aot_jit(
                 lambda params, s: self.model.apply(
                     params, s, method=self.model.decode_z
-                )[1].astype(jnp.uint8)
+                )[1].astype(jnp.uint8),
+                name="decode_z", enabled=self._aot_ok,
             )
-            self._dec_fn = jax.jit(
+            self._dec_fn = aot_jit(
                 lambda params, s: self.model.apply(
-                    params, s, method=self.model.decode_y)
+                    params, s, method=self.model.decode_y),
+                name="decode_y", enabled=self._aot_ok,
             )
         else:
-            self._dec_fn = jax.jit(
+            self._dec_fn = aot_jit(
                 lambda params, s: self.model.apply(
-                    params, s, method=self.model.decode)
+                    params, s, method=self.model.decode),
+                name="decode_v1", enabled=self._aot_ok,
             )
 
     def set_params(self, params):
@@ -750,16 +762,16 @@ class BlockCodec:
                     jnp.zeros((bs,) + tuple(self.z_shape), jnp.int16)))
 
         def warm_rerun():
-            # the overflow-rerun path (bucket backend only) gathers an
-            # rb-wide batch out of the cloud concats with jnp.take, runs
-            # the canonical decode + exact sweep at width rb, and
+            # the overflow-rerun path (bucket backend only) gathers a
+            # bs-wide batch out of the cloud concats with jnp.take, runs
+            # the canonical decode + exact sweep at width bs (NOT
+            # narrower — see the bucket_k note in __init__), and
             # scatters the packed masks back — all fresh executables
             # whose first compile otherwise lands in the MIDDLE of the
             # first overflowing cloud (measured 19 s on real TPU, r3).
             if self.sweep_backend != "bucket" or with_normals:
                 return
-            rb = min(self.rerun_batch, bs)
-            gather = jnp.zeros((rb,), jnp.int32)
+            gather = jnp.zeros((bs,), jnp.int32)
             occ_dev = jnp.asarray(out["packed_occ"])
             y_t = jnp.take(feeds["y_sym"], gather, axis=0)
             occ_t = jnp.take(occ_dev, gather, axis=0)
@@ -821,15 +833,14 @@ class BlockCodec:
                 pts_cat = self._concat_chunks(i16)
                 y_cat = self._concat_chunks(i8y)
                 # overflow-rerun executables at this chunk count: three
-                # rb-wide gathers out of the cloud concats + the packed-
+                # bs-wide gathers out of the cloud concats + the packed-
                 # mask scatter back in (see _rerun_overflowed)
-                rb = min(self.rerun_batch, bs)
-                g = jnp.zeros((rb,), jnp.int32)
+                g = jnp.zeros((bs,), jnp.int32)
                 for t in (jnp.take(y_cat, g, axis=0),
                           jnp.take(occ_cat, g, axis=0),
                           jnp.take(pts_cat, g, axis=0),
                           occ_cat.at[g].set(
-                              jnp.zeros((rb, fbytes), jnp.uint8))):
+                              jnp.zeros((bs, fbytes), jnp.uint8))):
                     jax.block_until_ready(t)
             rows = max(8, int(2 ** np.ceil(np.log2(nck * bs + 1))))
             key = ("halo", rows)
@@ -948,9 +959,10 @@ class BlockCodec:
                                                point_budget, fill=0)
                 return fn(params, pts, normals)
 
-            jitted = jax.jit(fn_flat)
+            jitted = aot_jit(fn_flat, name="encode_syms_flat",
+                             enabled=self._aot_ok)
         else:
-            jitted = jax.jit(fn)
+            jitted = aot_jit(fn, name="encode_syms", enabled=self._aot_ok)
         self._encode_syms_cache[key] = jitted
         return jitted
 
@@ -1033,7 +1045,7 @@ class BlockCodec:
                 out[f"count{m}"] = mpc["count"]
             return out
 
-        jitted = jax.jit(fn)
+        jitted = aot_jit(fn, name=f"sweep_{backend}", enabled=self._aot_ok)
         self._sweep_mask_cache[key] = jitted
         return jitted
 
@@ -1291,15 +1303,18 @@ class BlockCodec:
                     "exact XLA backend", len(idx))
         fb = self._sweep_mask_fn(opt_metrics, max_deltas, with_normals,
                                  backend="xla")
-        rb = min(self.rerun_batch, self.batch_blocks)
+        # bs-wide, NOT narrower: _dec_fn must keep the one batch shape
+        # every other encoder/decoder call uses (bit-exactness contract;
+        # see the note in __init__)
+        bs = self.batch_blocks
         idx = np.asarray(idx)
         params0 = (self._params_per_dev[0] if self.devices
                    else self.params)
-        for lo in range(0, len(idx), rb):
-            sel = idx[lo: lo + rb]
+        for lo in range(0, len(idx), bs):
+            sel = idx[lo: lo + bs]
             kk = len(sel)
             pad = np.concatenate(
-                [sel, np.full(rb - kk, sel[0], sel.dtype)]
+                [sel, np.full(bs - kk, sel[0], sel.dtype)]
             ).astype(np.int32)
             gather = jnp.asarray(pad)
             y = jnp.take(y_cat, gather, axis=0)
