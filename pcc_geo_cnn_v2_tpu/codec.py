@@ -601,16 +601,25 @@ class BlockCodec:
                         "fetched)", len(over), len(count),
                         self.coord_budget)
             tlog("mask rows unpacked")
-        out = []
-        for i in range(len(count)):
-            if count[i] > self.coord_budget:
-                coords = over_pts[int(i)]
-            else:
-                p = pos[i, : count[i]].astype(np.int64)
-                coords = np.stack(
-                    [p // (bsz * bsz), (p // bsz) % bsz, p % bsz],
-                    1).astype(np.float32)
-            out.append(coords)
+        # one vectorized pass over the whole batch (the per-block python
+        # loop of slice/stack measured 1.3-5.7 s/cloud in the decode
+        # 'unpack' phase); over-budget blocks splice their native-decoded
+        # lists back in afterwards
+        pos = np.asarray(pos)
+        if not len(count):
+            return []
+        cnt = np.minimum(count, self.coord_budget)
+        valid = np.arange(pos.shape[1], dtype=np.int32)[None, :] < \
+            cnt[:, None]
+        p = pos[valid].astype(np.int64)
+        coords_all = np.empty((len(p), 3), np.float32)
+        coords_all[:, 0] = p // (bsz * bsz)
+        coords_all[:, 1] = (p // bsz) % bsz
+        coords_all[:, 2] = p % bsz
+        bounds = np.cumsum(cnt[:-1]) if len(cnt) > 1 else []
+        out = np.split(coords_all, bounds)
+        for i in over:
+            out[int(i)] = over_pts[int(i)]
         tlog("per-block coord lists built")
         return out
 

@@ -43,6 +43,12 @@ step ladder 600 python -u tools/rd_ladder.py
 
 step bench 2400 env PCC_TIMING=1 BENCH_PIPELINE=2 python -u bench.py
 
+# batch-width A/B: q5_conv shows conv passes are dispatch-overhead-bound
+# (ms/chunk FLAT from batch 8 to 128), so 128-wide chunks should halve
+# the per-block device cost of syms/dec passes if HBM allows
+step bench128 2400 env PCC_TIMING=1 BENCH_PIPELINE=2 BENCH_BATCH_BLOCKS=128 \
+  python -u bench.py
+
 rm -rf /tmp/aotcache
 step aot_populate 1800 env PCC_AOT_CACHE=/tmp/aotcache BENCH_NUM_CLOUDS=1 \
   python -u bench.py
