@@ -35,14 +35,14 @@ step() {  # step <name> <timeout_s> <cmd...>
   return 0
 }
 
-step adaptive_trim 2400 python -u tools/rd_eval.py models/rd/c3p-a0.75 \
+step adaptive_trim 2400 env PCC_AOT_CACHE=/tmp/aotcache python -u tools/rd_eval.py models/rd/c3p-a0.75 \
   --config c3p --run_id c3p-a0.75 \
   --out results/rd_c3p_a075_trim_adaptive.json --seeds 200 201 202
 step ladder3 600 python -u tools/rd_ladder.py
 
-step extend_c1 5400 python -u tools/rd_train_all.py --config c1 \
+step extend_c1 5400 env PCC_AOT_CACHE=/tmp/aotcache python -u tools/rd_train_all.py --config c1 \
   --extend 6000 --lambdas 2e-4 5e-5 1e-5
-step eval_c1b 2400 python -u tools/rd_eval.py --config c1 \
+step eval_c1b 2400 env PCC_AOT_CACHE=/tmp/aotcache python -u tools/rd_eval.py --config c1 \
   --fixed_threshold --seeds 200 201 202
 step ladder4 600 python -u tools/rd_ladder.py
 
