@@ -352,3 +352,31 @@ def test_over_coord_budget_mask_fallback():
     for a, b in zip(wide.decompress_blocks(d_w[0]),
                     tight.decompress_blocks(d_t[0])):
         np.testing.assert_array_equal(a, b)
+
+
+def test_rerun_decode_uses_canonical_batch_width():
+    """Regression (r3, real-TPU bench 03:38): the overflow rerun must run
+    the canonical decode at batch_blocks width — a narrower conv
+    executable may reassociate accumulations on TPU and flip borderline
+    mask bits, breaking decoder bit-exactness. Pin every _dec_fn batch
+    width during an overflowing encode."""
+    pts = _random_cloud(19)
+    blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3,
+                                      LEVEL)
+    cfg = dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
+               synthesis="SynthesisTransformV1")
+    codec = _init_codec(cfg, sweep_backend="bucket")
+    codec.bucket_k = 128  # force the rerun on every non-trivial block
+
+    widths = []
+    inner = codec._dec_fn
+
+    def spy(params, s):
+        widths.append(int(s.shape[0]))
+        return inner(params, s)
+
+    codec._dec_fn = spy
+    codec.compress_blocks_device_opt(blocks, binstr, pts, RESOLUTION,
+                                     LEVEL)
+    assert widths, "decode executable never ran"
+    assert set(widths) == {codec.batch_blocks}, widths
