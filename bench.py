@@ -70,6 +70,10 @@ def main():
     from pcc_geo_cnn_v2_tpu.utils.octree import partition_octree
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    # cross-process executable cache (aot.py): a fresh bench process
+    # deserializes the compile set in seconds instead of re-paying the
+    # 1-3 min remote compiles; tpu-only by default, validated per load
+    os.environ.setdefault("PCC_AOT_CACHE", "/tmp/pcc_aot_cache")
     if N_DEVICES:
         jax.config.update("jax_platforms", "cpu")  # axon ignores env var
     log("devices:", jax.devices())
