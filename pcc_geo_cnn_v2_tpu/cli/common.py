@@ -12,8 +12,8 @@ from pcc_geo_cnn_v2_tpu.models.configs import MODEL_CONFIGS, build_model
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["build_model_from_args", "load_params", "config_names",
-           "add_model_args"]
+__all__ = ["build_model_from_args", "load_params", "load_params_asset",
+           "config_names", "add_model_args"]
 
 
 def config_names():
@@ -59,3 +59,25 @@ def load_params(model, checkpoint_dir, block_size=16):
     restored = ocp.StandardCheckpointer().restore(path, abstract)
     logger.info("restored %s (step %s)", path, restored["step"])
     return jax.tree_util.tree_map(np.asarray, restored["params"])
+
+
+def load_params_asset(model, asset_path, block_size=16):
+    """Load params from a committed ``.msgpack.gz`` asset.
+
+    Assets are written by ``tools/export_rd_assets.py`` /
+    ``tools/export_bench_ckpt.py`` so evals survive the loss of the
+    gitignored ``models/`` tree (container reboots wipe it).
+    """
+    import gzip
+
+    from flax import serialization
+
+    from pcc_geo_cnn_v2_tpu.training import TrainConfig, create_train_state
+
+    template = jax.device_get(
+        create_train_state(model, jax.random.PRNGKey(0),
+                           TrainConfig(block_size=block_size)).params)
+    params = serialization.from_bytes(
+        template, gzip.decompress(Path(asset_path).read_bytes()))
+    logger.info("loaded asset %s", asset_path)
+    return params

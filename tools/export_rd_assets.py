@@ -1,0 +1,95 @@
+"""Export RD-ladder checkpoints as committed, reboot-proof assets.
+
+The gitignored ``models/`` tree does not survive container reboots — the
+round-3 reboot deleted every RD checkpoint, leaving the committed
+``results/rd_*.json`` artifacts unreproducible (VERDICT r3 weak #3).
+This tool walks ``models/rd/<run_id>/<lambda>/`` (the layout written by
+``tools/rd_train_all.py``) and exports each trained rung's params as
+``pcc_geo_cnn_v2_tpu/assets/rd/<run_id>/<lambda>.msgpack.gz`` plus a
+``manifest.json`` recording the checkpoint step (the training budget —
+advisor r3 asked for per-rung budgets in the published ladder) so
+``tools/rd_eval.py --from-assets`` regenerates every RD JSON with zero
+training. Mirrors the reference shipping its full RD data in-repo
+(``/root/reference/data.csv``); here we ship the model weights that
+produce it.
+
+Usage: python tools/export_rd_assets.py [models/rd] [--runs c1 c3p-a0.75]
+"""
+
+import argparse
+import datetime
+import gzip
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from flax import serialization
+
+from pcc_geo_cnn_v2_tpu.cli.common import load_params
+from pcc_geo_cnn_v2_tpu.models.configs import build_model
+
+ASSET_ROOT = (Path(__file__).resolve().parent.parent
+              / "pcc_geo_cnn_v2_tpu/assets/rd")
+
+
+def run_config(run_id: str) -> str:
+    """models/rd run dir name -> model config name (c3p-a0.75 -> c3p)."""
+    return run_id.split("-a")[0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model_root", nargs="?", default="models/rd")
+    ap.add_argument("--runs", nargs="*", default=None,
+                    help="run dirs to export (default: all)")
+    args = ap.parse_args()
+
+    root = Path(args.model_root)
+    run_dirs = sorted(p for p in root.iterdir() if p.is_dir())
+    if args.runs:
+        run_dirs = [p for p in run_dirs if p.name in args.runs]
+    assert run_dirs, f"nothing to export under {root}"
+
+    for run_dir in run_dirs:
+        model = build_model(run_config(run_dir.name))
+        out_dir = ASSET_ROOT / run_dir.name
+        out_dir.mkdir(parents=True, exist_ok=True)
+        manifest_path = out_dir / "manifest.json"
+        manifest = (json.loads(manifest_path.read_text())
+                    if manifest_path.exists() else {})
+        for lam_dir in sorted(run_dir.glob("*e-*"),
+                              key=lambda p: float(p.name)):
+            ckpts = sorted(lam_dir.glob("ckpt_*"),
+                           key=lambda p: int(p.name.split("_")[1]))
+            if not ckpts:
+                print(f"skip {lam_dir} (no checkpoint)")
+                continue
+            step = int(ckpts[-1].name.split("_")[1])
+            params = load_params(model, lam_dir)
+            out = out_dir / f"{lam_dir.name}.msgpack.gz"
+            out.write_bytes(gzip.compress(
+                serialization.to_bytes(params), compresslevel=9))
+            manifest[lam_dir.name] = {
+                "ckpt_step": step,
+                "exported_utc":
+                    datetime.datetime.now(datetime.timezone.utc)
+                    .isoformat(timespec="seconds"),
+                "bytes": out.stat().st_size,
+            }
+            print(f"{lam_dir} (step {step}) -> {out} "
+                  f"({out.stat().st_size / 1e6:.1f} MB)")
+        manifest_path.write_text(json.dumps(manifest, indent=2))
+        print(f"wrote {manifest_path}")
+
+
+if __name__ == "__main__":
+    main()

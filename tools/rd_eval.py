@@ -81,6 +81,13 @@ def main():
                     help="recompute only the anchor curve + BD sections, "
                     "reusing the learned points already in --out (pure "
                     "host work: safe to run on CPU without checkpoints)")
+    ap.add_argument("--from-assets", action="store_true", dest="from_assets",
+                    help="load params from the committed reboot-proof "
+                         "assets (pcc_geo_cnn_v2_tpu/assets/rd/<run_id>/, "
+                         "written by tools/export_rd_assets.py) instead "
+                         "of models/rd orbax checkpoints — regenerates "
+                         "any committed results/rd_*.json with zero "
+                         "training")
     args = ap.parse_args()
     if args.run_id is None:
         args.run_id = "c3p-a0.75" if args.config == "c3p" else args.config
@@ -117,9 +124,22 @@ def main():
         print(f"figure_{seed}: {len(pts)} pts, {len(blocks)} blocks",
               flush=True)
 
+    train_steps = {}
     if args.anchor_only:
-        results = json.loads(Path(args.out).read_text())["points"]
+        prev = json.loads(Path(args.out).read_text())
+        results = prev["points"]
+        train_steps = prev.get("train_steps", {})
         run_dirs = []
+    elif args.from_assets:
+        asset_root = (Path(__file__).resolve().parent.parent
+                      / "pcc_geo_cnn_v2_tpu/assets/rd" / args.run_id)
+        run_dirs = sorted(asset_root.glob("*e-*.msgpack.gz"),
+                          key=lambda p: float(p.name[:-len(".msgpack.gz")]))
+        assert run_dirs, f"no exported λ assets under {asset_root}"
+        manifest = json.loads((asset_root / "manifest.json").read_text())
+        train_steps = {tag: m["ckpt_step"] for tag, m in manifest.items()}
+        model = build_model(args.config)
+        results = []
     else:
         run_dirs = sorted(Path(args.model_root).glob("*e-*"),
                           key=lambda p: float(p.name))
@@ -128,8 +148,19 @@ def main():
         results = []
     codec = None
     for run_dir in run_dirs:
-        lmbda = float(run_dir.name)
-        params = load_params(model, run_dir)
+        if args.from_assets:
+            from pcc_geo_cnn_v2_tpu.cli.common import load_params_asset
+
+            lmbda = float(run_dir.name[:-len(".msgpack.gz")])
+            params = load_params_asset(model, run_dir)
+        else:
+            lmbda = float(run_dir.name)
+            params = load_params(model, run_dir)
+            ckpts = sorted(run_dir.glob("ckpt_*"),
+                           key=lambda p: int(p.name.split("_")[1]))
+            if ckpts:
+                train_steps[run_dir.name] = int(
+                    ckpts[-1].name.split("_")[1])
         if codec is None:
             codec = BlockCodec(model, params,
                                block_size=resolution // 2 ** level,
@@ -238,6 +269,7 @@ def main():
         for s in scales
     ]
     report = {"points": results, "avg_curve": avg,
+              "train_steps": train_steps,
               "bd_ignore_points": ignored,
               "anchor_points": anchor_results,
               "anchor_avg_curve": anchor_avg,

@@ -68,9 +68,15 @@ def main():
                 bd = f"n/a (bdsnr={bd})"
         except Exception as e:  # noqa: BLE001 - disjoint ranges etc.
             bd = f"n/a ({e})"
-        rows.append({"run_id": run_id,
-                     "bd_psnr_vs_builtin_anchor": bd,
-                     "published_bd_psnr_vs_trisoup": published})
+        row = {"run_id": run_id,
+               "bd_psnr_vs_builtin_anchor": bd,
+               "published_bd_psnr_vs_trisoup": published}
+        # advisor r3: publish each rung's per-λ training budget so
+        # deltas between rungs trained at different budgets (e.g. the
+        # documented c1 10k-base exception) are visibly flagged
+        if rep.get("train_steps"):
+            row["train_steps_per_lambda"] = rep["train_steps"]
+        rows.append(row)
 
     # successive deltas (the content-independent check)
     for i in range(1, len(rows)):
@@ -89,7 +95,12 @@ def main():
                 "reference data.csv BD-PSNR vs G-PCC trisoup on 4 MPEG "
                 "clouds (BASELINE.md). The parity check is the ORDERING "
                 "and the successive deltas, not absolute values "
-                "(different content, different anchor).",
+                "(different content, different anchor). Rungs carry "
+                "their per-λ training budget (train_steps_per_lambda); a "
+                "delta between rungs trained at different budgets is "
+                "training-contaminated — c1 uses a 10k-step base by "
+                "documented exception (the V1 factorized prior underfits "
+                "at 4k).",
         "rows": rows,
     }
     out = Path("results/config_ladder.json")
