@@ -212,12 +212,19 @@ class BlockCodec:
         # sweep (at 20480 every bench cloud still overflowed 9-19 dense
         # blocks and paid a rerun; 32768 makes overflow pathological-only)
         self.bucket_k = 32768
-        # NOTE the overflow rerun must run the canonical decode at the
-        # SAME batch width as every other _dec_fn call (batch_blocks): a
-        # differently-shaped conv executable may reassociate
-        # accumulations on TPU, flipping borderline mask bits and
-        # breaking the decoder-bit-exactness contract (observed on real
-        # hardware when a 16-wide rerun was tried, r3 bench 03:38).
+        # NOTE every _dec_fn call must use the SAME batch width
+        # (batch_blocks): a differently-shaped conv executable may
+        # reassociate accumulations on TPU, flipping borderline mask
+        # bits and breaking the decoder-bit-exactness contract (observed
+        # on real hardware when a 16-wide rerun decode was tried, r3
+        # bench 03:38). The overflow rerun therefore never re-decodes:
+        # it GATHERS the canonical x_hat rows kept from the phase-B
+        # chunks (gathers are exact) and re-sweeps only those rows at
+        # this narrow fixed width — elementwise mask compares are
+        # batch-width-independent, so bit-exactness is preserved while
+        # the rerun costs a W-wide exact sweep instead of the bs-wide
+        # decode+sweep that measured 7-14 s/cloud at bs=128 (r4 bench).
+        self.rerun_width = 16
         # nonzero-slot budget of the sparse y-symbol transfer (trained
         # models emit ~99% zeros; measured ≤580 nonzeros/block on the
         # bench checkpoint); denser blocks re-fetch their full rows
@@ -772,24 +779,24 @@ class BlockCodec:
 
         def warm_rerun():
             # the overflow-rerun path (bucket backend only) gathers a
-            # bs-wide batch out of the cloud concats with jnp.take, runs
-            # the canonical decode + exact sweep at width bs (NOT
-            # narrower — see the bucket_k note in __init__), and
-            # scatters the packed masks back — all fresh executables
-            # whose first compile otherwise lands in the MIDDLE of the
-            # first overflowing cloud (measured 19 s on real TPU, r3).
+            # rerun_width-wide batch of canonical x_hat / occ / pts rows
+            # out of the cloud concats with jnp.take, re-sweeps them on
+            # the exact XLA backend, and scatters the packed masks back
+            # — all fresh executables whose first compile otherwise
+            # lands in the MIDDLE of the first overflowing cloud
+            # (measured 19 s on real TPU, r3).
             if self.sweep_backend != "bucket" or with_normals:
                 return
-            gather = jnp.zeros((bs,), jnp.int32)
+            w = self.rerun_width
+            gather = jnp.zeros((w,), jnp.int32)
             occ_dev = jnp.asarray(out["packed_occ"])
-            y_t = jnp.take(feeds["y_sym"], gather, axis=0)
             occ_t = jnp.take(occ_dev, gather, axis=0)
             pts_t = jnp.take(dev_keep["pts16"], gather, axis=0)
+            x_hat_t = jnp.take(x_hat, gather, axis=0)
             jax.block_until_ready(
                 occ_dev.at[gather].set(jnp.zeros_like(occ_t)))
             fbx = self._sweep_mask_fn(opt_metrics, max_deltas,
                                       with_normals, backend="xla")
-            x_hat_t = self._dec_fn(self.params, y_t)
             jax.block_until_ready(
                 fbx(self.params, occ_t, x_hat_t, pts_t)["picks"])
 
@@ -834,22 +841,23 @@ class BlockCodec:
             nck = -(-n // bs)
             if nck > 1 and nck not in done:
                 done.add(nck)
+                sz = self.block_size
                 u8 = [jnp.zeros((bs, fbytes), jnp.uint8)] * nck
                 i16 = [jnp.zeros((bs, point_budget, 3), jnp.int16)] * nck
-                i8y = [jnp.zeros((bs,) + tuple(self.y_shape), jnp.int8)
-                       ] * nck
+                f32x = [jnp.zeros((bs, sz, sz, sz, 1), jnp.float32)] * nck
                 occ_cat = self._concat_chunks(u8)
                 pts_cat = self._concat_chunks(i16)
-                y_cat = self._concat_chunks(i8y)
+                xhat_cat = self._concat_chunks(f32x)
                 # overflow-rerun executables at this chunk count: three
-                # bs-wide gathers out of the cloud concats + the packed-
-                # mask scatter back in (see _rerun_overflowed)
-                g = jnp.zeros((bs,), jnp.int32)
-                for t in (jnp.take(y_cat, g, axis=0),
+                # rerun_width-wide gathers out of the cloud concats + the
+                # packed-mask scatter back in (see _rerun_overflowed)
+                g = jnp.zeros((self.rerun_width,), jnp.int32)
+                for t in (jnp.take(xhat_cat, g, axis=0),
                           jnp.take(occ_cat, g, axis=0),
                           jnp.take(pts_cat, g, axis=0),
                           occ_cat.at[g].set(
-                              jnp.zeros((bs, fbytes), jnp.uint8))):
+                              jnp.zeros((self.rerun_width, fbytes),
+                                        jnp.uint8))):
                     jax.block_until_ready(t)
             rows = max(8, int(2 ** np.ceil(np.log2(nck * bs + 1))))
             key = ("halo", rows)
@@ -1173,12 +1181,14 @@ class BlockCodec:
                                          with_normals)
         yidx_futs, sweep_futs = [], []
         mask_chunks = [[] for _ in range(n_metrics)]
+        xhat_dev = []  # canonical x_hat per chunk, kept for the rerun
         for k in range(nck):
             _, params_k = self._chunk_dev(k)
             if self.is_v2:
                 yi = self._decode_z(params_k, feeds[k]["z_sym"])
                 yidx_futs.append(fetchers.submit(jax.device_get, yi))
             x_hat = self._dec_fn(params_k, feeds[k]["y_sym"])
+            xhat_dev.append(x_hat)
             nrm_k = ((syms_dev[k]["nrm"],) if with_normals else ())
             res = sweep_mask(params_k, syms_dev[k]["packed_occ"], x_hat,
                              syms_dev[k]["pts16"], *nrm_k)
@@ -1207,15 +1217,16 @@ class BlockCodec:
 
         overflow = out2.pop("overflow", None)
         if overflow is not None and np.any(overflow):
-            y_cat = self._concat_chunks([f["y_sym"] for f in feeds])
+            xhat_cat = self._concat_chunks(xhat_dev)
             nrm_cat = (self._concat_chunks([d["nrm"] for d in syms_dev])
                        if with_normals else None)
             self._rerun_overflowed(
                 np.nonzero(overflow)[0], out2, packed_dev_by_metric,
-                y_cat, occ_cat, pts_cat, nrm_cat, opt_metrics,
+                xhat_cat, occ_cat, pts_cat, nrm_cat, opt_metrics,
                 max_deltas, with_normals, n_metrics,
             )
             tlog("overflow rerun done")
+        del xhat_dev  # release the kept canonical x_hat chunks (HBM)
         picks = np.asarray(out2["picks"])
         t_dec_sweep = time.time() - t0
         t_device += t_dec_sweep
@@ -1286,36 +1297,39 @@ class BlockCodec:
             parts = [jax.device_put(p, self.devices[0]) for p in parts]
         return jnp.concatenate(parts)
 
-    def _rerun_overflowed(self, idx, out2, packed_dev_by_metric, y_cat,
+    def _rerun_overflowed(self, idx, out2, packed_dev_by_metric, xhat_cat,
                           occ_cat, pts_cat, nrm_cat, opt_metrics,
                           max_deltas, with_normals, n_metrics):
-        """Re-run bucket-overflowed blocks through the exact XLA sweep.
+        """Re-sweep bucket-overflowed blocks on the exact XLA backend.
 
         A block overflows when more than ``bucket_k`` voxels sit above
         thresholds[0] (dense scan blocks, or a divergent model emitting
         diffuse probabilities everywhere). Its bucket picks/masks are
-        invalid, so the decoder-canonical decode + exact sweep re-runs
-        for just those blocks and splices picks / positions / packed
-        masks in place — the common case never pays for the possibility.
+        invalid, so the exact sweep re-runs for just those blocks and
+        splices picks / positions / packed masks in place — the common
+        case never pays for the possibility.
 
-        Overflowed blocks gather ACROSS chunk boundaries out of the
-        cloud-wide device concats into one bs-wide batch per ceil(k/bs)
-        — the earlier per-source-chunk rerun paid a full bs-wide exact
-        sweep (~3 s device) for EVERY chunk an overflow landed in, which
-        measured 16-28 s/cloud on real TPU at the bench's typical 3-6%
-        overflow rate. Gathers pad with their first entry and the mask
-        scatter's padding rows rewrite row idx[0] with its own value —
-        every executable here is compiled once per cloud chunk-count,
-        not once per overflow count (warmed by ``warmup_cloud_shapes``).
+        The rerun never calls ``_dec_fn``: it GATHERS the canonical
+        x_hat rows kept from the phase-B chunks (``xhat_cat``). Gathers
+        are exact and the mask compare ``x_hat > thr`` is elementwise,
+        so the spliced masks are bit-identical to what the decoder's
+        bs-wide canonical decode reproduces, regardless of the sweep's
+        batch width (the r3 bit-exactness break came from RE-DECODING at
+        a new width — see the ``rerun_width`` note in ``__init__``).
+        That frees the rerun to run at the narrow fixed ``rerun_width``:
+        one W-wide exact sweep (~0.5 s) instead of the bs-wide
+        decode+sweep that measured 7-14 s/cloud at bs=128 (r4 bench).
+        Gathers pad with their first entry and the mask scatter's
+        padding rows rewrite row idx[0] with its own value — every
+        executable here is compiled once per cloud chunk-count, not once
+        per overflow count (warmed by ``warmup_cloud_shapes``).
         """
-        logger.info("bucket sweep overflow: re-running %d block(s) on the "
-                    "exact XLA backend", len(idx))
+        logger.info("bucket sweep overflow: re-sweeping %d block(s) on "
+                    "the exact XLA backend (width %d)", len(idx),
+                    self.rerun_width)
         fb = self._sweep_mask_fn(opt_metrics, max_deltas, with_normals,
                                  backend="xla")
-        # bs-wide, NOT narrower: _dec_fn must keep the one batch shape
-        # every other encoder/decoder call uses (bit-exactness contract;
-        # see the note in __init__)
-        bs = self.batch_blocks
+        bs = self.rerun_width
         idx = np.asarray(idx)
         params0 = (self._params_per_dev[0] if self.devices
                    else self.params)
@@ -1326,12 +1340,11 @@ class BlockCodec:
                 [sel, np.full(bs - kk, sel[0], sel.dtype)]
             ).astype(np.int32)
             gather = jnp.asarray(pad)
-            y = jnp.take(y_cat, gather, axis=0)
+            x_hat = jnp.take(xhat_cat, gather, axis=0)
             occ = jnp.take(occ_cat, gather, axis=0)
             pts = jnp.take(pts_cat, gather, axis=0)
             nrm = ((jnp.take(nrm_cat, gather, axis=0),)
                    if with_normals else ())
-            x_hat = self._dec_fn(params0, y)
             res = fb(params0, occ, x_hat, pts, *nrm)
             host = jax.device_get({key: v for key, v in res.items()
                                    if not key.startswith("masks")})

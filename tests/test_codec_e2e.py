@@ -355,11 +355,12 @@ def test_over_coord_budget_mask_fallback():
 
 
 def test_rerun_decode_uses_canonical_batch_width():
-    """Regression (r3, real-TPU bench 03:38): the overflow rerun must run
-    the canonical decode at batch_blocks width — a narrower conv
-    executable may reassociate accumulations on TPU and flip borderline
-    mask bits, breaking decoder bit-exactness. Pin every _dec_fn batch
-    width during an overflowing encode."""
+    """Regression (r3, real-TPU bench 03:38): every _dec_fn call must use
+    the one batch_blocks width — a differently-shaped conv executable may
+    reassociate accumulations on TPU and flip borderline mask bits,
+    breaking decoder bit-exactness. The r4 rerun no longer decodes at all
+    (it gathers the kept canonical x_hat and only re-sweeps), so an
+    overflowing encode must show exclusively bs-wide decode calls."""
     pts = _random_cloud(19)
     blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3,
                                       LEVEL)
