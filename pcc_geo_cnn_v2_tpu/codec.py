@@ -579,22 +579,33 @@ class BlockCodec:
             tlog(f"{key} widened ({np.dtype(dtype).name})")
         return feeds
 
-    def _points_from_pos(self, pos, count, masks_dev):
+    def _points_from_pos(self, pos, count, masks_dev, prefetch=None):
         """Per-block [n_i, 3] float32 point lists from the compact
         position transfer (== ``np.argwhere`` of the mask, by
         construction); blocks denser than ``coord_budget`` gather and
-        unpack their device-retained mask rows instead."""
+        unpack their device-retained mask rows instead. ``prefetch``
+        optionally carries ``(over_idx, rows_future)`` from a gather the
+        encoder dispatched earlier — before the halo d1 sums entered the
+        device queue — so this fetch doesn't serialize behind them."""
         bsz = self.block_size
         tlog = _mk_tlog("unpack")
         count = np.asarray(count)
-        over = np.nonzero(count > self.coord_budget)[0]
+        if prefetch is not None:
+            over, rows_fut = prefetch
+        else:
+            over = np.nonzero(count > self.coord_budget)[0]
+            rows_fut = None
         over_pts = {}
         if len(over):
-            # pow2-padded gather: a per-cloud over-count would compile a
-            # fresh remote executable every cloud
-            idx = _pow2_rows(over.astype(np.int32), len(count))
-            rows = jax.device_get(
-                jnp.take(masks_dev, jnp.asarray(idx), axis=0))[:len(over)]
+            if rows_fut is not None:
+                rows = rows_fut.result()[:len(over)]
+            else:
+                # pow2-padded gather: a per-cloud over-count would
+                # compile a fresh remote executable every cloud
+                idx = _pow2_rows(over.astype(np.int32), len(count))
+                rows = jax.device_get(
+                    jnp.take(masks_dev, jnp.asarray(idx),
+                             axis=0))[:len(over)]
             tlog(f"mask rows fetched ({rows.nbytes/1e6:.1f} MB, "
                  f"{len(over)} blocks)")
             # native single-pass bit->coord decode (numpy unpackbits +
@@ -1231,6 +1242,46 @@ class BlockCodec:
         t_dec_sweep = time.time() - t0
         t_device += t_dec_sweep
 
+        # pre-dispatch the over-budget mask-row gathers BEFORE the d1
+        # sums below enter the device queue, so the unpack phase's row
+        # fetch isn't serialized behind the halo pass (costed the unpack
+        # phase 2-4 s/cloud on the r4 bench)
+        row_prefetch = []
+        for m in range(n_metrics):
+            cnt_m = np.asarray(out2[f"count{m}"])
+            over_m = np.nonzero(cnt_m > self.coord_budget)[0]
+            fut_m = None
+            if len(over_m):
+                idx_m = _pow2_rows(over_m.astype(np.int32), len(cnt_m))
+                rows_dev = jnp.take(packed_dev_by_metric[m],
+                                    jnp.asarray(idx_m), axis=0)
+                fut_m = fetchers.submit(jax.device_get, rows_dev)
+            row_prefetch.append((over_m, fut_m))
+
+        # dispatch the halo-EDT d1 sums for every candidate the select
+        # phase will score NOW, on fetch threads: their device time and
+        # blocking fetch (1-7 s/cloud on the r4 bench) then overlap the
+        # host unpack + entropy phases instead of serializing inside
+        # ``select``
+        d1_sums_futs = None
+        d1_entries = [i for i, nm in enumerate(opt_names)
+                      if nm.startswith("d1")]
+        if d1_entries and (need_metrics or len(d1_entries) > 1):
+            from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
+                blockwise_d1_sums,
+            )
+            from pcc_geo_cnn_v2_tpu.utils.octree import block_origins
+
+            origins_early = np.stack(
+                block_origins(binstr, [0, 0, 0], [resolution] * 3, level))
+            d1_sums_futs = {
+                i: fetchers.submit(
+                    blockwise_d1_sums, occ_cat, packed_dev_by_metric[i],
+                    origins_early, self.block_size, halo=self.halo_width,
+                    batch=self.halo_batch)
+                for i in d1_entries
+            }
+
         # range coding overlaps the unpack + select phases below: the C++
         # rANS coder releases the GIL, so its threads run while the main
         # thread blocks on device fetches inside the metric passes
@@ -1243,7 +1294,8 @@ class BlockCodec:
         t0 = time.time()
         x_hat_points = [
             self._points_from_pos(out2[f"pos{m}"], out2[f"count{m}"],
-                                  packed_dev_by_metric[m])
+                                  packed_dev_by_metric[m],
+                                  prefetch=row_prefetch[m])
             for m in range(n_metrics)
         ]
         tlog("points unpacked")
@@ -1256,6 +1308,7 @@ class BlockCodec:
             pts_dev=pts_cat,
             nrm_host=(pack_attrs(blocks, [3, 4, 5], budget)
                       if with_normals else None),
+            d1_sums_futs=d1_sums_futs,
         )
         t_select = time.time() - t0
         tlog("select done")
@@ -1361,7 +1414,8 @@ class BlockCodec:
                 )
 
     def _d1_full_cloud_metrics(self, occ_packed, mask_packed, origins,
-                               x_hat_blocks, points, resolution):
+                               x_hat_blocks, points, resolution,
+                               sums=None):
         """Exact full-cloud D1 metrics of one candidate, device-first.
 
         Sums come from the halo-EDT device pass; the rare > halo outliers
@@ -1369,7 +1423,11 @@ class BlockCodec:
         candidate cloud (decoded clouds can dwarf the original —
         ``resolve_outliers`` ring search touches only blocks near each
         outlier). B-outliers query a tree over the original points, which
-        is small and built once per call.
+        is small and built once per call. ``sums`` accepts a precomputed
+        ``blockwise_d1_sums`` result so the encoder can dispatch the
+        halo pass early and overlap its device time + fetch with the
+        host unpack/entropy phases (the blocking fetch measured
+        1-7 s/cloud inside ``select`` on the r4 bench).
         """
         import time
 
@@ -1380,9 +1438,11 @@ class BlockCodec:
         )
 
         t0 = time.time()
-        sums = blockwise_d1_sums(occ_packed, mask_packed, origins,
-                                 self.block_size, halo=self.halo_width,
-                                 batch=self.halo_batch)
+        if sums is None:
+            sums = blockwise_d1_sums(occ_packed, mask_packed, origins,
+                                     self.block_size,
+                                     halo=self.halo_width,
+                                     batch=self.halo_batch)
         t_sums = time.time() - t0
         if sums["n_b"] == 0:  # all blocks hit the failure guard
             return {"d1_psnr": -np.inf}
@@ -1421,7 +1481,7 @@ class BlockCodec:
                             masks_packed, opt_names, points, resolution,
                             level, opt_groups=("d1", "d2"),
                             need_metrics=True, pts_dev=None,
-                            nrm_host=None):
+                            nrm_host=None, d1_sums_futs=None):
         """Best-variant selection with full-cloud metrics on device.
 
         Same semantics as :func:`select_best_per_opt_metric` (exact d1
@@ -1460,9 +1520,11 @@ class BlockCodec:
                 assert group == "d1", f"unknown metric group {group}"
 
                 def metric_fn(i):
+                    fut = (d1_sums_futs or {}).get(i)
                     return self._d1_full_cloud_metrics(
                         occ_packed, masks_packed[i], origins,
                         x_hat_points[i], points, resolution,
+                        sums=fut.result() if fut is not None else None,
                     )
             score_key = f"{group}_psnr"
             if len(entries) == 1:

@@ -132,6 +132,14 @@ def main():
                     help="Train each ALREADY-DONE λ this many further "
                          "steps from its own checkpoint (params + "
                          "optimizer state), instead of skipping it.")
+    ap.add_argument("--patience_steps", type=int, default=0,
+                    help="Early stop: end a λ's run when val loss has "
+                         "not improved for this many steps (reference "
+                         "protocol: 2000, tr_train.py:54-57; val probes "
+                         "here are every 1000 steps). The BEST-val "
+                         "params are what gets checkpointed, as in the "
+                         "reference's best-loss Saver. 0 = off (save "
+                         "final params).")
     ap.add_argument("--lambdas", nargs="*", type=float, default=None,
                     help="Subset of the λ grid to process.")
     args = ap.parse_args()
@@ -188,6 +196,7 @@ def main():
         log_path = run_dir / "train_log.jsonl"
         t0 = time.time()
         done_steps = 0
+        best_val, best_params, best_step = np.inf, None, 0
         while done_steps < steps:
             state, logs = multi(state, data, base_rng)
             done_steps += K_INNER
@@ -199,12 +208,34 @@ def main():
                 rec = {"step": done_steps, "split": "train",
                        **{k: float(v) for k, v in logs.items()},
                        "val_loss": vloss, "steps_per_sec": rate}
+                if args.patience_steps:
+                    if vloss < best_val:
+                        best_val, best_step = vloss, done_steps
+                        best_params = jax.device_get(state.params)
+                    elif done_steps - best_step >= args.patience_steps:
+                        rec["early_stop"] = done_steps
+                        rec["best_step"] = best_step
+                        rec["best_val"] = best_val
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
                 print(f"λ={lmbda:g} step {done_steps}/{steps}: "
                       f"loss {rec['loss']:.1f} mbpov {rec['mbpov']:.3f} "
                       f"val {vloss:.1f} ({rate:.1f} it/s)", flush=True)
-        save_ckpt(run_dir, state, resumed + done_steps)
+                if "early_stop" in rec:
+                    print(f"λ={lmbda:g}: early stop at {done_steps} "
+                          f"(best val {best_val:.1f} @ {best_step})",
+                          flush=True)
+                    break
+        if best_params is not None:
+            # reference semantics: the checkpoint is the BEST-val model
+            # (tr_train.py best-loss Saver), not the last step. The
+            # opt_state saved alongside is the final one (resume via
+            # --extend restarts Adam moments from there).
+            state = state.replace(params=jax.tree_util.tree_map(
+                jnp.asarray, best_params))
+            save_ckpt(run_dir, state, resumed + best_step)
+        else:
+            save_ckpt(run_dir, state, resumed + done_steps)
         (run_dir / "done").touch()
         print(f"λ={lmbda:g}: saved to {run_dir}", flush=True)
         prev_state = state
