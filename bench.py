@@ -207,9 +207,12 @@ def main():
 
     codec = BlockCodec(
         model, params, block_size=block_size,
-        batch_blocks=int(os.environ.get("BENCH_BATCH_BLOCKS", 64)),
+        # default 128: conv passes are dispatch-floor-bound (~24-28 ms
+        # per dispatch, tools/profile_conv.py), so wider chunks halve
+        # per-block device cost — the 64->128 A/B measured 29.5->40.2
+        # blocks/s end-to-end (r4)
+        batch_blocks=int(os.environ.get("BENCH_BATCH_BLOCKS", 128)),
         sweep_backend=os.environ.get("BENCH_SWEEP_BACKEND", "auto"),
-        coord_budget=4096,
     )
     codec.halo_batch = int(os.environ.get("BENCH_HALO_BATCH",
                                           codec.halo_batch))

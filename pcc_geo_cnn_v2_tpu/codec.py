@@ -189,20 +189,21 @@ class BlockCodec:
 
     def __init__(self, model, params, block_size=64, n_thresholds=2 ** 8,
                  batch_blocks=32, threads=8, sweep_backend="auto",
-                 devices=None, coord_budget=512):
+                 devices=None, coord_budget=None):
         """:param devices: optional device list; block chunks round-robin
         across them with replicated params (octree blocks are embarrassingly
         parallel — no collectives needed, linear scaling over a slice).
-        :param coord_budget: per-block slots in the compact coordinate
-        transfer (reconstructions come back as ≤budget flat positions,
-        2 KB/block, instead of bit-mask grids, 32 KB/block at 64³; denser
-        blocks fall back to their mask rows)."""
+        :param coord_budget: unused, accepted for call-site compatibility
+        (reconstructions travel as packed 1-bit mask rows, B³/8
+        bytes/block, and become coordinate lists via the native
+        single-pass bit walker — the compact-position transfer this knob
+        once sized was removed in r4)."""
+        del coord_budget
         self.model = model
         self.block_size = int(block_size)
         self.thresholds = np.linspace(0, 1.0, n_thresholds)
         self.batch_blocks = int(batch_blocks)
         self.threads = threads
-        self.coord_budget = int(coord_budget)
         if sweep_backend == "auto":
             sweep_backend = ("bucket" if jax.default_backend() == "tpu"
                              else "xla")
@@ -270,47 +271,22 @@ class BlockCodec:
         # in different executables (f32 compare is exact — no fusion can
         # change it). The reference approximated this property with a
         # 100-retry debug loop (``decompress_octree.py:64-131``).
-        budget = self.coord_budget
-
-        def _mask_pack_coords(x_hat, thr):
-            """(packed mask, compact flat positions, count) per block.
-
-            Positions are the ascending flat indices of occupied voxels
-            (== np.argwhere order), -1-padded to ``coord_budget``; blocks
-            with more occupancy than the budget signal via count and are
-            read from the (device-resident) packed mask instead.
-            """
+        def _mask_pack_only(x_hat, thr):
+            """Packed 1-bit mask per block, WITHOUT the compact position
+            scan/scatter. The decoder fetches these rows (B³/8 bytes per
+            block — about the same tunnel bytes as the pos+count compact
+            transfer once over-budget row re-fetches are counted) and
+            decodes ALL coordinates with the native single-pass bit
+            walker; dropping the two-level scan + scatter cuts the
+            dec_mask device pass and removes the per-cloud over-budget
+            row gather wait (~1.6 s on the r4 decode trace)."""
             mask = x_hat[..., 0] > thr[:, None, None, None]
             flat = mask.reshape(mask.shape[0], -1)
-            packed = jnp.packbits(flat, axis=-1, bitorder="big")
-            # two-level inclusive scan: a flat cumsum over the 262k-lane
-            # row is ~18 log-doubling passes of HBM traffic; an inner
-            # scan over 512-lane tiles plus a tiny tile-offset scan does
-            # the same in ~2 passes
-            bsz, F = flat.shape
-            W = 512 if F % 512 == 0 else F
-            g = flat.reshape(bsz, F // W, W).astype(jnp.int32)
-            inner = jnp.cumsum(g, axis=-1)
-            tot = inner[..., -1]  # [bs, F/W]
-            offs = jnp.cumsum(tot, axis=-1) - tot  # exclusive tile offsets
-            count = (offs[:, -1] + tot[:, -1]).astype(jnp.int32)
-            slot = (inner + offs[..., None] - 1).reshape(bsz, F)
-            slot = jnp.where(flat, slot, budget)  # pad rows drop
-            positions = jnp.broadcast_to(
-                jnp.arange(flat.shape[-1], dtype=jnp.int32)[None],
-                flat.shape,
-            )
-            b_idx = jnp.broadcast_to(
-                jnp.arange(flat.shape[0], dtype=jnp.int32)[:, None],
-                flat.shape,
-            )
-            pos = jnp.full((flat.shape[0], budget), -1, jnp.int32)
-            pos = pos.at[b_idx, slot].set(positions, mode="drop")
-            return {"packed": packed, "pos": pos, "count": count}
+            return {"packed": jnp.packbits(flat, axis=-1, bitorder="big")}
 
-        self._mask_coords_raw = _mask_pack_coords  # for use inside jits
-        self._mask_pack_coords = aot_jit(_mask_pack_coords, name="mask_pack",
-                                         enabled=self._aot_ok)
+        self._mask_only_raw = _mask_pack_only      # for use inside jits
+        self._mask_pack_only = aot_jit(_mask_pack_only, name="mask_only",
+                                       enabled=self._aot_ok)
         # canonical-feed casts for wide clouds (jitted: eager dtype casts
         # are synchronous tunnel round-trips)
         self._cast16 = jax.jit(lambda a: a.astype(jnp.int16))
@@ -579,68 +555,6 @@ class BlockCodec:
             tlog(f"{key} widened ({np.dtype(dtype).name})")
         return feeds
 
-    def _points_from_pos(self, pos, count, masks_dev, prefetch=None):
-        """Per-block [n_i, 3] float32 point lists from the compact
-        position transfer (== ``np.argwhere`` of the mask, by
-        construction); blocks denser than ``coord_budget`` gather and
-        unpack their device-retained mask rows instead. ``prefetch``
-        optionally carries ``(over_idx, rows_future)`` from a gather the
-        encoder dispatched earlier — before the halo d1 sums entered the
-        device queue — so this fetch doesn't serialize behind them."""
-        bsz = self.block_size
-        tlog = _mk_tlog("unpack")
-        count = np.asarray(count)
-        if prefetch is not None:
-            over, rows_fut = prefetch
-        else:
-            over = np.nonzero(count > self.coord_budget)[0]
-            rows_fut = None
-        over_pts = {}
-        if len(over):
-            if rows_fut is not None:
-                rows = rows_fut.result()[:len(over)]
-            else:
-                # pow2-padded gather: a per-cloud over-count would
-                # compile a fresh remote executable every cloud
-                idx = _pow2_rows(over.astype(np.int32), len(count))
-                rows = jax.device_get(
-                    jnp.take(masks_dev, jnp.asarray(idx),
-                             axis=0))[:len(over)]
-            tlog(f"mask rows fetched ({rows.nbytes/1e6:.1f} MB, "
-                 f"{len(over)} blocks)")
-            # native single-pass bit->coord decode (numpy unpackbits +
-            # nonzero measured 1.6-5.6 s/cloud on dense scans; the 4-D
-            # argwhere it replaced ~4 s/cloud)
-            from pcc_geo_cnn_v2_tpu.ops.bitunpack import unpack_mask_coords
-
-            for i, c in zip(over, unpack_mask_coords(rows, bsz)):
-                over_pts[int(i)] = c
-            logger.info("%d/%d blocks over coord budget %d (mask rows "
-                        "fetched)", len(over), len(count),
-                        self.coord_budget)
-            tlog("mask rows unpacked")
-        # one vectorized pass over the whole batch (the per-block python
-        # loop of slice/stack measured 1.3-5.7 s/cloud in the decode
-        # 'unpack' phase); over-budget blocks splice their native-decoded
-        # lists back in afterwards
-        pos = np.asarray(pos)
-        if not len(count):
-            return []
-        cnt = np.minimum(count, self.coord_budget)
-        valid = np.arange(pos.shape[1], dtype=np.int32)[None, :] < \
-            cnt[:, None]
-        p = pos[valid].astype(np.int64)
-        coords_all = np.empty((len(p), 3), np.float32)
-        coords_all[:, 0] = p // (bsz * bsz)
-        coords_all[:, 1] = (p // bsz) % bsz
-        coords_all[:, 2] = p % bsz
-        bounds = np.cumsum(cnt[:-1]) if len(cnt) > 1 else []
-        out = np.split(coords_all, bounds)
-        for i in over:
-            out[int(i)] = over_pts[int(i)]
-        tlog("per-block coord lists built")
-        return out
-
     # -- encode ------------------------------------------------------------
 
     def _flat_budget(self, offsets):
@@ -780,9 +694,9 @@ class BlockCodec:
             # hatch and stays lazy).
             y16 = jnp.zeros((bs,) + tuple(self.y_shape), jnp.int16)
             thr_c = jnp.zeros((bs,), jnp.float32)
-            outs = self._mask_pack_coords(
+            outs = self._mask_pack_only(
                 self._dec_fn(self.params, y16), thr_c)
-            jax.block_until_ready(outs["pos"])
+            jax.block_until_ready(outs["packed"])
             if self.is_v2:
                 jax.block_until_ready(self._decode_z(
                     self.params,
@@ -1066,11 +980,14 @@ class BlockCodec:
             if overflow is not None:
                 out["overflow"] = overflow
             thr = jnp.take(thresholds, picks, axis=0)  # [N, M]
+            # packed 1-bit masks only: coordinate lists are rebuilt
+            # host-side by the native bit walker (the compact-position
+            # scan + scatter this used to do per metric was measurable
+            # device time, and its pos/count transfer is superseded by
+            # fetching the packed rows themselves)
             for m in range(n_metrics):
-                mpc = self._mask_coords_raw(x_hat, thr[:, m])
-                out[f"masks{m}"] = mpc["packed"]
-                out[f"pos{m}"] = mpc["pos"]
-                out[f"count{m}"] = mpc["count"]
+                out[f"masks{m}"] = self._mask_only_raw(
+                    x_hat, thr[:, m])["packed"]
             return out
 
         jitted = aot_jit(fn, name=f"sweep_{backend}", enabled=self._aot_ok)
@@ -1242,21 +1159,15 @@ class BlockCodec:
         t_dec_sweep = time.time() - t0
         t_device += t_dec_sweep
 
-        # pre-dispatch the over-budget mask-row gathers BEFORE the d1
-        # sums below enter the device queue, so the unpack phase's row
-        # fetch isn't serialized behind the halo pass (costed the unpack
-        # phase 2-4 s/cloud on the r4 bench)
-        row_prefetch = []
-        for m in range(n_metrics):
-            cnt_m = np.asarray(out2[f"count{m}"])
-            over_m = np.nonzero(cnt_m > self.coord_budget)[0]
-            fut_m = None
-            if len(over_m):
-                idx_m = _pow2_rows(over_m.astype(np.int32), len(cnt_m))
-                rows_dev = jnp.take(packed_dev_by_metric[m],
-                                    jnp.asarray(idx_m), axis=0)
-                fut_m = fetchers.submit(jax.device_get, rows_dev)
-            row_prefetch.append((over_m, fut_m))
+        # pre-dispatch the per-metric packed-mask fetches BEFORE the d1
+        # sums below enter the device queue, so the unpack phase's fetch
+        # isn't serialized behind the halo pass; coordinates are rebuilt
+        # host-side from the bits by the native single-pass walker
+        # (the pos/count compact transfer this replaces cost a per-metric
+        # scan+scatter on device plus separate over-budget row gathers)
+        packed_futs = [fetchers.submit(jax.device_get,
+                                       packed_dev_by_metric[m])
+                       for m in range(n_metrics)]
 
         # dispatch the halo-EDT d1 sums for every candidate the select
         # phase will score NOW, on fetch threads: their device time and
@@ -1292,10 +1203,11 @@ class BlockCodec:
         t_entropy_submit = time.time() - t0
         threshold_list = [list(map(int, row)) for row in picks]
         t0 = time.time()
+        from pcc_geo_cnn_v2_tpu.ops.bitunpack import unpack_mask_coords
+
         x_hat_points = [
-            self._points_from_pos(out2[f"pos{m}"], out2[f"count{m}"],
-                                  packed_dev_by_metric[m],
-                                  prefetch=row_prefetch[m])
+            unpack_mask_coords(packed_futs[m].result()[:n],
+                               self.block_size)
             for m in range(n_metrics)
         ]
         tlog("points unpacked")
@@ -1404,8 +1316,6 @@ class BlockCodec:
             out2["picks"][sel] = host["picks"][:kk]
             js = jnp.asarray(pad)
             for m in range(n_metrics):
-                out2[f"pos{m}"][sel] = host[f"pos{m}"][:kk]
-                out2[f"count{m}"][sel] = host[f"count{m}"][:kk]
                 rows = res[f"masks{m}"]
                 if self.devices:
                     rows = jax.device_put(rows, self.devices[0])
@@ -1599,21 +1509,21 @@ class BlockCodec:
         y_narrow = narrow_symbols(out["y_sym"])
 
         def dec_mask(params, y_chunk, thr_chunk):
-            return self._mask_pack_coords(self._dec_fn(params, y_chunk),
-                                          thr_chunk)
+            return self._mask_pack_only(self._dec_fn(params, y_chunk),
+                                        thr_chunk)
+
+        from pcc_geo_cnn_v2_tpu.ops.bitunpack import unpack_mask_coords
 
         x_hat_points = []
         for col in map(list, zip(*threshold_list)):
-            outm, mdev = self._run_chunked(
+            outm = self._run_chunked(
                 dec_mask,
                 [y_narrow,
                  self.thresholds[np.asarray(col)].astype(np.float32)],
-                n, keep_device=("packed",),
+                n,
             )
             x_hat_points.append(
-                self._points_from_pos(outm["pos"], outm["count"],
-                                      mdev["packed"])
-            )
+                unpack_mask_coords(outm["packed"], self.block_size))
         metadata = select_best_per_opt_metric(
             binstr, x_hat_points, level, opt_names, points, resolution,
             with_normals,
@@ -1654,9 +1564,12 @@ class BlockCodec:
 
         def dec_mask(params, y_chunk, thr_chunk):
             # same decode executable as the encoder's canonical pass;
-            # the mask compares materialized f32 values (bit-exact)
-            return self._mask_pack_coords(self._dec_fn(params, y_chunk),
-                                          thr_chunk)
+            # the mask compares materialized f32 values (bit-exact).
+            # Decode transports ONLY the packed 1-bit mask (coords are
+            # rebuilt host-side by the native bit walker) — see
+            # _mask_pack_only.
+            return self._mask_pack_only(self._dec_fn(params, y_chunk),
+                                        thr_chunk)
 
         t0 = time.time()
         if self.is_v2:
@@ -1730,15 +1643,14 @@ class BlockCodec:
                 return dec_mask(params, y, thr_chunk)
 
             t0 = mark("sparse_build", t0)
-            outm, mdev = self._run_chunked(dec_mask_sparse,
-                                           [pos, val, thr], n,
-                                           keep_device=("packed",))
+            outm = self._run_chunked(dec_mask_sparse,
+                                     [pos, val, thr], n)
         else:
-            outm, mdev = self._run_chunked(dec_mask, [y_syms, thr], n,
-                                           keep_device=("packed",))
+            outm = self._run_chunked(dec_mask, [y_syms, thr], n)
         t0 = mark("dec_mask", t0)
-        dec_blocks = self._points_from_pos(outm["pos"], outm["count"],
-                                           mdev["packed"])
+        from pcc_geo_cnn_v2_tpu.ops.bitunpack import unpack_mask_coords
+
+        dec_blocks = unpack_mask_coords(outm["packed"], self.block_size)
         mark("unpack", t0)
         if os.environ.get("PCC_TIMING", "0") >= "1":
             logger.info(
@@ -1748,7 +1660,7 @@ class BlockCodec:
             )
         if return_debug:
             debug = {"y_sym": y_syms,
-                     "packed_masks": jax.device_get(mdev["packed"])}
+                     "packed_masks": outm["packed"]}
             if self.is_v2:
                 debug["z_sym"] = z_syms
                 debug["y_idx"] = dz

@@ -179,6 +179,32 @@ def _pad_zero_rows(a, *, rows):
     return jnp.concatenate([a, pad])
 
 
+_dir_fn_cache = {}
+
+
+def _dir_fn_aot(size, halo, backend, interpret):
+    """Per-(size, halo, backend) single-direction executable, wrapped in
+    the cross-process AOT cache: the halo-EDT kernel is the slowest
+    remote compile of the codec (~100 s per fresh process measured in
+    every r4 bench warmup) and was the one hot executable still outside
+    ``$PCC_AOT_CACHE``."""
+    key = (size, halo, backend, interpret)
+    fn = _dir_fn_cache.get(key)
+    if fn is None:
+        from pcc_geo_cnn_v2_tpu.aot import aot_jit
+
+        if backend == "pallas":
+            def base(q, t):
+                return _halo_dir_chunk_pallas(q, t, size=size, halo=halo,
+                                              interpret=interpret)
+        else:
+            def base(q, t):
+                return _halo_dir_chunk(q, t, size=size, halo=halo)
+        fn = aot_jit(base, name=f"halo_{backend}_{size}_{halo}")
+        _dir_fn_cache[key] = fn
+    return fn
+
+
 def _halo_d1_chunk(a_nb, b_nb, *, size, halo, backend="xla",
                    interpret=False):
     """Both directional D1 partial sums for one block chunk.
@@ -188,11 +214,7 @@ def _halo_d1_chunk(a_nb, b_nb, *, size, halo, backend="xla",
     volume returns corrupted distances — XLA buffer-reuse bug, reproduced
     and isolated 2026-08-16; single-direction executables verify exactly).
     """
-    if backend == "pallas":
-        dir_fn = functools.partial(_halo_dir_chunk_pallas, size=size,
-                                   halo=halo, interpret=interpret)
-    else:
-        dir_fn = functools.partial(_halo_dir_chunk, size=size, halo=halo)
+    dir_fn = _dir_fn_aot(size, halo, backend, interpret)
     ab = dir_fn(a_nb, b_nb)
     ba = dir_fn(b_nb, a_nb)
     out = {}

@@ -332,26 +332,28 @@ def test_bucket_backend_matches_xla_and_overflow_fallback():
 
 
 @pytest.mark.slow
-def test_over_coord_budget_mask_fallback():
-    """Blocks denser than coord_budget decode via fetched mask rows; the
-    batched unpack must match the compact-position path exactly."""
+def test_mask_transport_matches_argwhere():
+    """Reconstructions travel as packed 1-bit mask rows decoded by the
+    native bit walker (r4; the compact-position transfer and its
+    coord_budget fallback were removed). The coordinate lists must equal
+    np.argwhere of the thresholded canonical x_hat, in argwhere order,
+    on both the encoder (embedded x_hat_list) and the decoder."""
     pts = _random_cloud(17)
     blocks, binstr = partition_octree(pts, [0, 0, 0], [RESOLUTION] * 3,
                                       LEVEL)
     cfg = dict(model="v2", num_filters=8, analysis="AnalysisTransformV1",
                synthesis="SynthesisTransformV1")
-    wide = _init_codec(cfg)                      # budget 512: all compact
-    tight = _init_codec(cfg, coord_budget=8)     # everything over budget
-    d_w, m_w = wide.compress_blocks_device_opt(blocks, binstr, pts,
-                                               RESOLUTION, LEVEL)
-    d_t, m_t = tight.compress_blocks_device_opt(blocks, binstr, pts,
-                                                RESOLUTION, LEVEL)
-    assert d_w[0] == d_t[0]
-    for a, b in zip(m_w[0]["x_hat_list"], m_t[0]["x_hat_list"]):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for a, b in zip(wide.decompress_blocks(d_w[0]),
-                    tight.decompress_blocks(d_t[0])):
-        np.testing.assert_array_equal(a, b)
+    codec = _init_codec(cfg)
+    data, meta = codec.compress_blocks_device_opt(blocks, binstr, pts,
+                                                  RESOLUTION, LEVEL)
+    dec_blocks, debug = codec.decompress_blocks(data[0], return_debug=True)
+    for i, (emb, dec) in enumerate(zip(meta[0]["x_hat_list"], dec_blocks)):
+        np.testing.assert_array_equal(np.asarray(emb), np.asarray(dec))
+        # argwhere-order contract of the bit transport
+        bits = np.unpackbits(debug["packed_masks"][i], bitorder="big")
+        ref = np.argwhere(
+            bits.reshape(BLOCK, BLOCK, BLOCK)).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(dec), ref)
 
 
 def test_rerun_decode_uses_canonical_batch_width():

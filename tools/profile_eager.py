@@ -100,7 +100,7 @@ def main():
     params = serialization.from_bytes(template,
                                       gzip.decompress(ckpt.read_bytes()))
     codec = BlockCodec(model, params, block_size=64, batch_blocks=bs,
-                       sweep_backend="bucket", coord_budget=4096)
+                       sweep_backend="bucket")
 
     # flat-stream syms chunk exactly like the bench (flat_budget 2^19)
     from pcc_geo_cnn_v2_tpu.utils.scansim import figure_cloud

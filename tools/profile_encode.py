@@ -104,8 +104,8 @@ def main():
             print(f"D sweep+mask [{backend}] FAILED: {e}", flush=True)
 
     thr = jnp.full((bs,), 0.5, jnp.float32)
-    timed("E mask+coords only",
-          lambda: codec._mask_pack_coords(x_hat, thr)["packed"], bs)
+    timed("E mask pack only",
+          lambda: codec._mask_pack_only(x_hat, thr)["packed"], bs)
 
     # sweep-path internals: where do the sweep's ms/block actually go?
     from pcc_geo_cnn_v2_tpu.ops.edt import squared_edt

@@ -47,8 +47,10 @@ step bench_d2 3600 env PCC_TIMING=1 BENCH_PIPELINE=2 BENCH_NUM_CLOUDS=4 \
   PCC_AOT_CACHE=/tmp/aotcache python -u bench.py
 
 # --- 3. flagship toward protocol + the headline adaptive eval ------------
-step train_flagship 16200 $AOT python -u tools/rd_train_all.py \
-  --config c3p --base_steps 50000 --ft_steps 10000 --patience_steps 4000 \
+# 40k base (was 30k in r3) + 8k ft with early-stop patience 4000 and
+# best-val checkpoints — sized so the whole queue fits the round
+step train_flagship 14400 $AOT python -u tools/rd_train_all.py \
+  --config c3p --base_steps 40000 --ft_steps 8000 --patience_steps 4000 \
   --lambdas 3e-4 1e-4 5e-5 2e-5 1e-5 \
   && step eval_flagship 3600 $AOT python -u tools/rd_eval.py \
     models/rd/c3p-a0.75 --config c3p --run_id c3p-a0.75 \
