@@ -131,8 +131,12 @@ def main():
         train_steps = prev.get("train_steps", {})
         run_dirs = []
     elif args.from_assets:
+        # assets mirror the models/rd run-dir layout (e.g. the α=0.9 run
+        # lives under 'c3p' per the trainer's run-id rule, even though
+        # its eval run_id is 'c3p-a0.9')
         asset_root = (Path(__file__).resolve().parent.parent
-                      / "pcc_geo_cnn_v2_tpu/assets/rd" / args.run_id)
+                      / "pcc_geo_cnn_v2_tpu/assets/rd"
+                      / Path(args.model_root).name)
         run_dirs = sorted(asset_root.glob("*e-*.msgpack.gz"),
                           key=lambda p: float(p.name[:-len(".msgpack.gz")]))
         assert run_dirs, f"no exported λ assets under {asset_root}"

@@ -48,9 +48,9 @@ RUNGS = [
 def main():
     from pcc_geo_cnn_v2_tpu.utils.bd import bdsnr
 
-    # the anchor curve shared by every rung (flagship artifact carries it)
+    # fallback anchor for old artifacts without one (flagship's)
     flagship = json.loads(Path("results/rd_c3p_a075.json").read_text())
-    anchor = [tuple(p) for p in flagship["anchor_avg_curve"]]
+    fallback_anchor = [tuple(p) for p in flagship["anchor_avg_curve"]]
 
     rows = []
     for run_id, path, published in RUNGS:
@@ -60,6 +60,12 @@ def main():
                          "published_bd_psnr_vs_trisoup": published})
             continue
         rep = json.loads(p.read_text())
+        # each rung's BD is against the anchor computed on ITS OWN eval
+        # clouds (rd_eval embeds it), so every rung is a same-content
+        # comparison; trimmed rungs share seeds 200-202, so their anchor
+        # curves — and hence the deltas — are mutually consistent too
+        anchor = [tuple(q) for q in
+                  rep.get("anchor_avg_curve", fallback_anchor)]
         ours = [tuple(q) for q in rep["avg_curve"]]
         ours = [q for q in ours if np.isfinite(q[0]) and np.isfinite(q[1])]
         try:
