@@ -95,7 +95,11 @@ def main():
         # analytic); partition_octree carries the extra columns through
         with_normals = "d2" in os.environ.get("BENCH_OPT_METRICS", "")
         for seed in range(300, 300 + n_clouds):
-            pts = figure_cloud(seed, 1024, with_normals=with_normals)
+            if with_normals:
+                coords, nrm = figure_cloud(seed, 1024, with_normals=True)
+                pts = np.hstack([coords, nrm])
+            else:
+                pts = figure_cloud(seed, 1024, with_normals=False)
             out.append((pts,) + tuple(partition_octree(
                 pts, [0, 0, 0], [1024] * 3, 4)))
         return out

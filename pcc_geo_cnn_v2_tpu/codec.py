@@ -33,6 +33,7 @@ from pcc_geo_cnn_v2_tpu.models.codec_models import (
 from pcc_geo_cnn_v2_tpu.models.entropy import (
     build_factorized_cdf,
     build_gaussian_cdf,
+    refine_factorized_quantiles,
 )
 from pcc_geo_cnn_v2_tpu.ops.voxel import (
     flatten_blocks,
@@ -325,6 +326,20 @@ class BlockCodec:
         64-block chunk — more than the chunk's compute.
         """
         self.params_host = jax.device_get(params)
+        # Re-solve the factorized-prior quantiles before anything derives
+        # from them (CDF table support + the median offsets baked into
+        # quantize/dequantize): the aux optimizer chases a moving target
+        # during training and can lag badly (see
+        # refine_factorized_quantiles). Deterministic float64 host math,
+        # so a separate decode process reaches identical parameters.
+        eb = dict(self.params_host["params"]["entropy_bottleneck"])
+        eb["quantiles"] = refine_factorized_quantiles(eb)["quantiles"]
+        self.params_host = {
+            **self.params_host,
+            "params": {**self.params_host["params"],
+                       "entropy_bottleneck": eb},
+        }
+        params = self.params_host
         if self.devices:
             self._params_per_dev = [
                 jax.device_put(params, d) for d in self.devices

@@ -353,6 +353,48 @@ def _sigmoid_np(x):
     return out
 
 
+def refine_factorized_quantiles(params, tail_mass=1e-9):
+    """Solve the FactorizedPrior quantiles exactly by bisection.
+
+    tfc trains the quantiles by SGD against the (t/2, 1/2, 1−t/2)
+    cumulative targets (the aux loss, ``model_types.py:279-280``); when
+    the density sharpens faster than Adam(1e-3) can chase, the learned
+    quantiles lag far behind the targets — the CDF table gets the wrong
+    support (escape-coding blowups) and the median used by
+    quantize/dequantize drifts. ``_logits_cumulative`` is monotone in x
+    (softplus-positive matrices, |tanh(factor)| < 1), so the targets can
+    instead be solved directly: float64 host bisection, deterministic,
+    encoder and decoder derive identical refined parameters from
+    identical checkpoints.
+
+    :param params: FactorizedPrior param dict (numpy leaves).
+    :return: new dict with the ``quantiles`` leaf replaced.
+    """
+    params = {k: np.asarray(v) for k, v in params.items()}
+    n_channels = params["quantiles"].shape[0]
+    t = float(tail_mass)
+    targets = np.log(
+        np.array([t / 2, 0.5, 1 - t / 2]) / np.array([1 - t / 2, 0.5, t / 2])
+    )
+    lo = np.full((n_channels, 1, 3), -1.0)
+    hi = np.full((n_channels, 1, 3), 1.0)
+    for _ in range(64):  # expand until every target is bracketed
+        need_lo = _logits_cumulative_np(params, lo) > targets
+        need_hi = _logits_cumulative_np(params, hi) < targets
+        if not need_lo.any() and not need_hi.any():
+            break
+        lo = np.where(need_lo, lo * 2.0, lo)
+        hi = np.where(need_hi, hi * 2.0, hi)
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        go_hi = _logits_cumulative_np(params, mid) < targets
+        lo = np.where(go_hi, mid, lo)
+        hi = np.where(go_hi, hi, mid)
+    out = dict(params)
+    out["quantiles"] = (0.5 * (lo + hi))[:, 0, :].astype(np.float32)
+    return out
+
+
 def build_factorized_cdf(params, precision=RANGE_CODER_PRECISION):
     """CDF table for a trained FactorizedPrior; one row per channel.
 

@@ -180,9 +180,17 @@ def make_scan_train_step(model, config: TrainConfig, n_data, k_inner):
 
 
 def make_scan_val_step(model, config: TrainConfig, n_val):
-    """Mean val loss over ``val_batches`` device-resident batches in one
+    """Mean val RD loss over ``val_batches`` device-resident batches in one
     dispatch (sequential coverage of the val set, reference protocol
-    ``tr_train.py:95-121``)."""
+    ``tr_train.py:95-121``).
+
+    Scores the RD objective (λ·focal + mbpov) WITHOUT the entropy-
+    bottleneck aux loss — the reference validates/early-stops on its
+    training objective (``tr_train.py:95-121``) while the aux loss has
+    its own optimizer and never enters the criterion. Including aux here
+    (as rounds ≤4 did) let a drifting-quantile term 100× the RD loss
+    drive best-checkpoint selection and early stopping.
+    """
     loss_fn = make_loss_fn(model, config)
 
     def val(params, data, rng):
@@ -191,8 +199,8 @@ def make_scan_val_step(model, config: TrainConfig, n_val):
             idx = (jnp.arange(config.batch_size)
                    + i * config.batch_size) % n_val
             pts = jnp.take(data, idx, axis=0).astype(jnp.int32)
-            loss, _ = loss_fn(params, pts, k)
-            return acc + loss
+            _, logs = loss_fn(params, pts, k)
+            return acc + logs["loss"]
 
         n_batches = min(max(n_val // config.batch_size, 1),
                         config.val_batches)

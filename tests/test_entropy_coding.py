@@ -174,3 +174,77 @@ def test_factorized_cdf_deterministic():
     t2 = build_factorized_cdf(params["params"])
     np.testing.assert_array_equal(t1.cdf, t2.cdf)
     np.testing.assert_array_equal(t1.offset, t2.offset)
+
+
+def test_refine_factorized_quantiles_solves_targets():
+    """Bisection lands each quantile on its cumulative target even when the
+    learned quantiles lag (the aux-optimizer failure mode of round 4)."""
+    from pcc_geo_cnn_v2_tpu.models.entropy import (
+        _logits_cumulative_np,
+        refine_factorized_quantiles,
+    )
+
+    fp = FactorizedPrior(channels=5)
+    y = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 2, 2, 5))
+    params = jax.tree_util.tree_map(
+        np.asarray,
+        fp.init(jax.random.PRNGKey(0), y, training=False)["params"],
+    )
+    # simulate a badly lagged aux optimizer: quantiles way off target
+    params["quantiles"] = np.tile(
+        np.array([[-37.0, 12.0, 55.0]], np.float32), (5, 1)
+    )
+    refined = refine_factorized_quantiles(params, tail_mass=1e-9)
+    q = refined["quantiles"]
+    assert q.shape == (5, 3)
+    assert np.all(q[:, 0] < q[:, 1]) and np.all(q[:, 1] < q[:, 2])
+    t = 1e-9
+    targets = np.log(
+        np.array([t / 2, 0.5, 1 - t / 2]) / np.array([1 - t / 2, 0.5, t / 2])
+    )
+    logits = _logits_cumulative_np(params, q[:, None, :].astype(np.float64))
+    # each solved point is within bisection resolution of its target
+    np.testing.assert_allclose(
+        logits[:, 0, :], np.broadcast_to(targets, (5, 3)),
+        rtol=1e-5, atol=1e-4,
+    )
+    # deterministic: a second solve is bit-identical
+    again = refine_factorized_quantiles(params, tail_mass=1e-9)
+    np.testing.assert_array_equal(q, again["quantiles"])
+
+
+def test_codec_refines_quantiles_consistently():
+    """BlockCodec.set_params refines the EB quantiles before deriving the
+    CDF table and the device medians, so encode/decode stay consistent
+    and the table support tracks the actual density, not the lagged
+    learned quantiles."""
+    from pcc_geo_cnn_v2_tpu.codec import BlockCodec
+    from pcc_geo_cnn_v2_tpu.models.configs import build_model
+
+    from pcc_geo_cnn_v2_tpu.models.entropy import (
+        refine_factorized_quantiles,
+    )
+
+    model = build_model("c1")
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = jax.tree_util.tree_map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), x, training=True,
+                   noise_rng=jax.random.PRNGKey(1)),
+    )
+    # plant lagged quantiles; the codec must not trust them
+    planted = np.tile(np.array([[-100.0, 7.0, 100.0]], np.float32),
+                      (model.num_filters, 1))
+    params["params"]["entropy_bottleneck"]["quantiles"] = planted.copy()
+    codec = BlockCodec(model, params, block_size=16)
+    got = codec.params_host["params"]["entropy_bottleneck"]["quantiles"]
+    want = refine_factorized_quantiles(
+        {k: np.asarray(v)
+         for k, v in params["params"]["entropy_bottleneck"].items()}
+    )["quantiles"]
+    assert not np.allclose(got, planted)  # planted values were replaced
+    np.testing.assert_array_equal(got, want)  # by the deterministic solve
+    # the CDF table derives from the refined quantiles (support check)
+    medians = want[:, 1]
+    minima = np.maximum(np.ceil(medians - want[:, 0]).astype(int), 0)
+    np.testing.assert_array_equal(codec.eb_table.offset, -minima)
