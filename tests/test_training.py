@@ -116,3 +116,36 @@ def test_fit_blocks_device_resident_protocol(tmp_path):
     q1 = np.asarray(
         trainer.state.params["params"]["entropy_bottleneck"]["quantiles"])
     assert not np.allclose(q0, q1)
+
+
+def test_scan_val_scores_rd_loss_without_aux():
+    """The val criterion is the RD objective only; the EB aux loss (own
+    optimizer, reference tr_train.py:95-121) must not leak in — it grows
+    ~100x the RD loss as the prior sharpens and, in round 4, drove early
+    stopping and best-checkpoint selection off aux drift."""
+    from pcc_geo_cnn_v2_tpu.training import make_loss_fn, make_scan_val_step
+
+    model = build_model(TINY)
+    state = create_train_state(model, jax.random.PRNGKey(0), CFG)
+    ds = _data()
+    val_np = ds._pack(np.arange(len(ds))).astype(np.int8)
+    val_data = jnp.asarray(val_np)
+    n_val = len(ds)
+    val_fn = make_scan_val_step(model, CFG, n_val)
+    rng = jax.random.PRNGKey(7)
+    got = float(val_fn(state.params, val_data, rng))
+
+    # manual twin: mean RD loss over the same batches/noise
+    loss_fn = make_loss_fn(model, CFG)
+    n_batches = min(max(n_val // CFG.batch_size, 1), CFG.val_batches)
+    rd, aux = [], []
+    for i in range(n_batches):
+        k = jax.random.fold_in(rng, i)
+        idx = (np.arange(CFG.batch_size) + i * CFG.batch_size) % n_val
+        pts = jnp.asarray(val_np[idx], jnp.int32)
+        _, logs = loss_fn(state.params, pts, k)
+        rd.append(float(logs["loss"]))
+        aux.append(float(logs["aux_loss"]))
+    assert got == pytest.approx(np.mean(rd), rel=1e-5)
+    # and it is NOT the aux-contaminated total (aux is O(100) at init)
+    assert abs(got - np.mean(np.add(rd, aux))) > 1.0

@@ -28,12 +28,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 # ladder rung -> (results file, published BD-PSNR vs trisoup)
-# The c5 analogue (adaptive threshold on the c4 checkpoints) appears
-# twice: once on the SAME trimmed checkpoints as the other rungs (the
-# controlled delta — published Δ compares c5 to c4 on identical
-# checkpoints too) and once as the 30k-step flagship artifact (absolute
-# positioning; protocol differs from the trimmed rungs, so its Δ is
-# training-contaminated and reported for context only).
+# All fixed-thr rungs train at ONE uniform budget (10k base + 1.5k ft
+# warm-seq) so successive deltas compare configs, not training budgets
+# (advisor r3). The c5 analogue (adaptive threshold on the c4
+# checkpoints) appears twice: once on the SAME ladder-budget checkpoints
+# as the fixed-thr rung (the controlled delta — published Δ compares c5
+# to c4 on identical checkpoints too) and once as the full-protocol
+# flagship artifact (absolute positioning; its Δ is training-
+# contaminated and reported for context only).
 RUNGS = [
     ("c1 (fixed thr)", "results/rd_c1_fixedthr.json", -0.72),
     ("c2 (fixed thr)", "results/rd_c2_fixedthr.json", -0.25),
@@ -41,7 +43,8 @@ RUNGS = [
     ("c3p-a0.75 (fixed thr)", "results/rd_c3p_a075_fixedthr.json", 3.71),
     ("c3p-a0.75 (adaptive, same ckpts)",
      "results/rd_c3p_a075_trim_adaptive.json", 5.39),
-    ("c3p-a0.75 (adaptive, 30k flagship)", "results/rd_c3p_a075.json", 5.39),
+    ("c3p-a0.75 (adaptive, flagship protocol)",
+     "results/rd_c3p_a075.json", 5.39),
 ]
 
 
@@ -102,11 +105,13 @@ def main():
                 "clouds (BASELINE.md). The parity check is the ORDERING "
                 "and the successive deltas, not absolute values "
                 "(different content, different anchor). Rungs carry "
-                "their per-λ training budget (train_steps_per_lambda); a "
-                "delta between rungs trained at different budgets is "
-                "training-contaminated — c1 uses a 10k-step base by "
-                "documented exception (the V1 factorized prior underfits "
-                "at 4k).",
+                "their per-λ training budget (train_steps_per_lambda); "
+                "every fixed-thr rung and the same-ckpts adaptive rung "
+                "train at the uniform 10k-base + 1.5k-ft warm-seq "
+                "budget, so successive deltas compare configs. The "
+                "flagship row alone uses the full protocol (40k base, "
+                "8k ft, early-stop patience 4000); its delta is "
+                "training-contaminated and reported for context.",
         "rows": rows,
     }
     out = Path("results/config_ladder.json")

@@ -1,0 +1,100 @@
+#!/bin/bash
+# Round-4c TPU queue (uses tools/queue_lib.sh).
+#
+# Reruns the round-4 RD program on top of commit 747d8b7, which fixed
+# two defects that invalidated the r4 queue's results:
+#   - the scan-path val loss included the exploding EB aux term, so the
+#     flagship's early stop + best-val checkpoints tracked aux drift;
+#   - rd_train_all skipped 3/5 flagship λs on stale trimmed done
+#     markers, so "40k flagship" was mostly 4k checkpoints.
+#
+# Program:
+#   0. d2-optimized encode on hardware (VERDICT r3 #5; the r4 attempt
+#      died on the with_normals tuple bug, fixed in 747d8b7).
+#   1. Uniform-budget ladder: retrain c2 / c3p-a0.9 / c3p-a0.75 at
+#      10k base + 1.5k ft (c1's committed 10k assets re-evaled with the
+#      current codec), fixed-thr evals on seeds 200-202, adaptive eval
+#      on the SAME a0.75 checkpoints, exports, ladder rebuild. The
+#      10k a0.75 rung is renamed c3p-a0.75-10k so its assets don't
+#      collide with the flagship's.
+#   2. Flagship toward the reference protocol: 40k base + 8k ft,
+#      early-stop patience 4000 on the FIXED criterion, best-val
+#      checkpoints; adaptive eval on seeds 200-203; export; ladder.
+#   3. Final consolidated bench.
+#
+# Launch:  setsid nohup bash tools/tpu_queue_r4c.sh > /root/.pcc_queue/r4c.out 2>&1 &
+# Status:  bash -c 'QUEUE_NAME=r4c source tools/queue_lib.sh; queue_status'
+
+QUEUE_NAME=r4c
+cd /root/repo
+source tools/queue_lib.sh
+
+wait_tunnel || exit 1
+
+AOT="env PCC_AOT_CACHE=/tmp/aotcache"
+
+# --- 0. d2-optimized encode on hardware ----------------------------------
+step bench_d2 3600 env PCC_TIMING=1 BENCH_PIPELINE=2 BENCH_NUM_CLOUDS=4 \
+  BENCH_BATCH_BLOCKS=128 BENCH_OPT_METRICS=d1_mse,d2_mse \
+  PCC_AOT_CACHE=/tmp/aotcache python -u bench.py
+
+# --- 1. uniform-budget ladder rungs (10k base + 1.5k ft) -----------------
+step train_c2 9000 $AOT python -u tools/rd_train_all.py models/rd10k \
+  --config c2 --base_steps 10000 --ft_steps 1500 \
+  --lambdas 2e-4 5e-5 1e-5 \
+  && step eval_c2 2400 $AOT python -u tools/rd_eval.py models/rd10k/c2 \
+    --config c2 --run_id c2 --fixed_threshold --seeds 200 201 202 \
+    --out results/rd_c2_fixedthr.json \
+  && step export_c2 600 python -u tools/export_rd_assets.py models/rd10k \
+    --runs c2
+
+step train_a09 9000 $AOT python -u tools/rd_train_all.py models/rd10k \
+  --config c3p --alpha 0.9 --base_steps 10000 --ft_steps 1500 \
+  --lambdas 3e-4 5e-5 1e-5 \
+  && step eval_a09 2400 $AOT python -u tools/rd_eval.py models/rd10k/c3p \
+    --config c3p --run_id c3p-a0.9 --fixed_threshold --seeds 200 201 202 \
+    --out results/rd_c3p_a09_fixedthr.json \
+  && step export_a09 600 python -u tools/export_rd_assets.py models/rd10k \
+    --runs c3p
+
+step train_a075 9000 $AOT python -u tools/rd_train_all.py models/rd10k \
+  --config c3p --alpha 0.75 --base_steps 10000 --ft_steps 1500 \
+  --lambdas 3e-4 5e-5 1e-5 \
+  && step mv_a075 60 bash -c '[ -d models/rd10k/c3p-a0.75-10k ] || \
+    mv models/rd10k/c3p-a0.75 models/rd10k/c3p-a0.75-10k' \
+  && step eval_a075f 2400 $AOT python -u tools/rd_eval.py \
+    models/rd10k/c3p-a0.75-10k --config c3p --run_id c3p-a0.75-10k \
+    --fixed_threshold --seeds 200 201 202 \
+    --out results/rd_c3p_a075_fixedthr.json \
+  && step eval_a075a 3600 $AOT python -u tools/rd_eval.py \
+    models/rd10k/c3p-a0.75-10k --config c3p --run_id c3p-a0.75-10k \
+    --seeds 200 201 202 --out results/rd_c3p_a075_trim_adaptive.json \
+  && step export_a075 600 python -u tools/export_rd_assets.py models/rd10k \
+    --runs c3p-a0.75-10k
+
+# c1's 10k checkpoints are committed assets; re-eval with the current
+# codec (quantile refinement changes bitstreams slightly)
+step eval_c1 2400 $AOT python -u tools/rd_eval.py --config c1 --run_id c1 \
+  --from-assets --fixed_threshold --seeds 200 201 202 \
+  --out results/rd_c1_fixedthr.json
+
+step ladder1 600 python -u tools/rd_ladder.py
+
+# --- 2. flagship toward the reference protocol ---------------------------
+step wipe_flagship 60 bash -c 'rm -rf models/rd/c3p-a0.75' \
+  && step train_flagship 18000 $AOT python -u tools/rd_train_all.py \
+    --config c3p --base_steps 40000 --ft_steps 8000 --patience_steps 4000 \
+    --lambdas 3e-4 1e-4 5e-5 2e-5 1e-5 \
+  && step eval_flagship 3600 $AOT python -u tools/rd_eval.py \
+    models/rd/c3p-a0.75 --config c3p --run_id c3p-a0.75 \
+    --out results/rd_c3p_a075.json --seeds 200 201 202 203 \
+  && step export_flagship 900 python -u tools/export_rd_assets.py \
+    --runs c3p-a0.75 \
+  && step ladder2 600 python -u tools/rd_ladder.py
+
+# --- 3. consolidated final bench ------------------------------------------
+step bench_final 2400 env PCC_TIMING=1 PCC_AOT_CACHE=/tmp/aotcache \
+  python -u bench.py
+
+qlog "ALL DONE $(date -u)"
+queue_status
