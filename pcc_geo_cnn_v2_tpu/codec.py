@@ -74,7 +74,15 @@ def _mk_tlog(tag):
 
 
 def _get_normals(arr, with_normals):
-    return arr[:, arr.shape[1] - 3:] if with_normals else None
+    if not with_normals:
+        return None
+    # last-3-columns slicing on a coords-only [N, 3] array would silently
+    # hand the coordinates back as "normals" and corrupt every d2 metric
+    assert arr.shape[1] >= 6, (
+        f"d2 metrics need normal columns (x y z nx ny nz); got "
+        f"{arr.shape[1]}-column points"
+    )
+    return arr[:, arr.shape[1] - 3:]
 
 
 def _pow2_rows(idx, total):
@@ -967,14 +975,20 @@ class BlockCodec:
             pts = pts16.astype(jnp.int32)
             overflow = None
             if with_normals:
-                ngrid = voxelize_attrs(pts, nrm, size)
-                picks = jax.lax.map(
-                    lambda args: select_thresholds_device(
-                        args[0], args[1], thresholds, normals=args[2],
+                # voxelize normals per block INSIDE the map body: a
+                # precomputed [N·B³, 3] grid carried into the loop gets
+                # a minor-dim-3 → 128 padded layout (42.7× expansion —
+                # 16 GB at batch 128, a compile-time HBM OOM on v5e)
+                def per_block_d2(args):
+                    occ_b, xh_b, pts_b, nrm_b = args
+                    ngrid_b = voxelize_attrs(
+                        pts_b[None], nrm_b[None], size)[0]
+                    return select_thresholds_device(
+                        occ_b, xh_b, thresholds, normals=ngrid_b,
                         opt_metrics=opt_metrics, max_deltas=max_deltas,
-                    ),
-                    (occ, xh, ngrid),
-                )
+                    )
+
+                picks = jax.lax.map(per_block_d2, (occ, xh, pts, nrm))
             elif backend == "bucket":
                 picks, overflow = select_thresholds_d1_bucket(
                     xh, pts, thresholds, opt_metrics=opt_metrics,

@@ -34,8 +34,10 @@ wait_tunnel || exit 1
 AOT="env PCC_AOT_CACHE=/tmp/aotcache"
 
 # --- 0. d2-optimized encode on hardware ----------------------------------
+# batch 64: the d1+d2 sweep at 128 needs 17.08G HBM vs 15.75 available
+# (compile-time OOM on both sweep backends, r4c first attempt 16:17 UTC)
 step bench_d2 3600 env PCC_TIMING=1 BENCH_PIPELINE=2 BENCH_NUM_CLOUDS=4 \
-  BENCH_BATCH_BLOCKS=128 BENCH_OPT_METRICS=d1_mse,d2_mse \
+  BENCH_BATCH_BLOCKS=64 BENCH_OPT_METRICS=d1_mse,d2_mse \
   PCC_AOT_CACHE=/tmp/aotcache python -u bench.py
 
 # --- 1. uniform-budget ladder rungs (10k base + 1.5k ft) -----------------

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-4d TPU queue: batch-width A/B above the current 128-block
+# default. The dispatch-floor measurements (ROUND3_NOTES:124-137) showed
+# per-block device cost halving per batch doubling up to 128; this
+# probes 256 (and 192 as the fallback point if 256 trips VMEM limits on
+# the synthesis slab). Launch AFTER tpu_queue_r4c.sh finishes — the
+# queues share the single TPU.
+#
+# Launch:  setsid nohup bash tools/tpu_queue_r4d.sh > /root/.pcc_queue/r4d.out 2>&1 &
+
+QUEUE_NAME=r4d
+cd /root/repo
+source tools/queue_lib.sh
+
+wait_tunnel || exit 1
+
+step bench_256 3600 env PCC_TIMING=1 PCC_AOT_CACHE=/tmp/aotcache \
+  BENCH_BATCH_BLOCKS=256 python -u bench.py
+
+step bench_192 3600 env PCC_TIMING=1 PCC_AOT_CACHE=/tmp/aotcache \
+  BENCH_BATCH_BLOCKS=192 python -u bench.py
+
+qlog "ALL DONE $(date -u)"
+queue_status
