@@ -115,3 +115,61 @@ def test_full_pipeline(tmp_path):
     back, names = pc_io.read_ply(recolored)
     assert names == ["x", "y", "z", "red", "green", "blue"]
     assert (back[:, 3:] == [200, 100, 50]).all()
+
+
+@pytest.mark.slow
+def test_compress_cli_d2_groups(tmp_path):
+    """d1+d2 opt-metric encode through the CLI surface: separate normals
+    PLY (reference --input_normals contract, compress_octree.py:56-59),
+    one bitstream per metric group, decode of the d2 group matches its
+    encoder-embedded decode."""
+    from pcc_geo_cnn_v2_tpu.utils.scansim import figure_cloud
+
+    coords, nrm = figure_cloud(7, RES, with_normals=True)
+    pc = str(tmp_path / "in.ply")
+    pc_io.write_ply(pc, coords, ["x", "y", "z"], dtypes=["f4"] * 3)
+    nrm_ply = str(tmp_path / "in.nrm.ply")
+    pc_io.write_ply(nrm_ply, np.hstack([coords, nrm]),
+                    ["x", "y", "z", "nx", "ny", "nz"], dtypes=["f4"] * 6)
+
+    pc_dir = tmp_path / "pc"
+    pc_dir.mkdir()
+    pc_io.write_ply(str(pc_dir / "in.ply"), coords, ["x", "y", "z"],
+                    dtypes=["f4"] * 3)
+    ds_pc_octree_blocks.main([str(pc_dir), "*.ply",
+                              str(tmp_path / "blocks"),
+                              "--vg_size", str(RES), "--level", str(LEVEL),
+                              "--processes", "1"])
+    ckpt = tmp_path / "ckpt"
+    cli_train.main([str(tmp_path / "blocks" / "*.ply"), str(ckpt),
+                    "--model_config", "c1",
+                    "--num_filters", "8", "--resolution", "16",
+                    "--batch_size", "2", "--max_steps", "600",
+                    "--val_every", "300", "--val_batches", "1"])
+
+    outs = [str(tmp_path / "out.d1.bin"), str(tmp_path / "out.d2.bin")]
+    decs = [str(tmp_path / "out.d1.dec.ply"), str(tmp_path / "out.d2.dec.ply")]
+    cli_compress.main([
+        "--input_files", pc, "--input_normals", nrm_ply,
+        "--output_files", *outs, "--dec_files", *decs,
+        "--opt_metrics", "d1_mse", "d2_mse",
+        "--checkpoint_dir", str(ckpt), "--model_config", "c1",
+        "--num_filters", "8", "--resolution", str(RES),
+        "--octree_level", str(LEVEL), "--batch_blocks", "4",
+    ])
+    for o in outs:
+        assert Path(o).exists()
+        meta = json.loads(Path(o + ".enc.metric.json").read_text())
+        assert "d1_psnr" in meta or "d2_psnr" in meta
+
+    out_ply = str(tmp_path / "out.d2.ply")
+    cli_decompress.main([
+        "--input_files", outs[1], "--output_files", out_ply,
+        "--checkpoint_dir", str(ckpt), "--model_config", "c1",
+        "--num_filters", "8", "--batch_blocks", "4",
+    ])
+    decoded, _ = pc_io.read_ply(out_ply)
+    embedded, _ = pc_io.read_ply(decs[1])
+    key = lambda a: np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+    np.testing.assert_array_equal(decoded[key(decoded)],
+                                  embedded[key(embedded)])

@@ -20,5 +20,12 @@ step bench_256 3600 env PCC_TIMING=1 PCC_AOT_CACHE=/tmp/aotcache \
 step bench_192 3600 env PCC_TIMING=1 PCC_AOT_CACHE=/tmp/aotcache \
   BENCH_BATCH_BLOCKS=192 python -u bench.py
 
+# d2 sweep at 128 — feasible after a7eda1e removed the 16 GB padded
+# normals-grid temp (per-block voxelize inside the map body)
+step bench_d2_128 3600 env PCC_TIMING=1 BENCH_PIPELINE=2 \
+  BENCH_NUM_CLOUDS=4 BENCH_BATCH_BLOCKS=128 \
+  BENCH_OPT_METRICS=d1_mse,d2_mse PCC_AOT_CACHE=/tmp/aotcache \
+  python -u bench.py
+
 qlog "ALL DONE $(date -u)"
 queue_status
