@@ -30,16 +30,18 @@ RESOLUTION = 1024
 LEVEL = 4
 
 
-def reference_curves(metric="d1_psnr", labels=("c3", "c4")):
+def reference_curves(metric="d1_psnr", labels=("c3", "c4"), opt_group="d1"):
     """Per-label average RD curve over the 4 MPEG PCs from data.csv.
 
     Labels per ``ev_experiment.yml``: c3=c3p, c4=c3p-a0.75 (ours), c6=c4-ws.
+    data.csv carries d2_psnr rows under opt_group d2 (d2-optimized
+    encodes); pass metric="d2_psnr", opt_group="d2" for those.
     """
     import csv
 
     rows = [r for r in csv.DictReader(open("/root/reference/data.csv"))
             if r["eval_id"] == "main" and r["metric"] == metric
-            and r["opt_group"] == "d1"]
+            and r["opt_group"] == opt_group]
     out = {}
     for label in labels:
         per_pc = {}
@@ -115,12 +117,14 @@ def main():
 
     if not args.anchor_only:
         print("devices:", jax.devices(), flush=True)
+    # normals give every artifact row a d2_psnr column next to d1_psnr,
+    # matching the reference data.csv schema (metric d1_psnr/d2_psnr)
     clouds = {}
     for seed in args.seeds:
-        pts = figure_cloud(seed, resolution, with_normals=False)
+        pts, nrm = figure_cloud(seed, resolution, with_normals=True)
         blocks, binstr = partition_octree(
             pts, [0, 0, 0], [resolution] * 3, level)
-        clouds[f"figure_{seed}"] = (pts, blocks, binstr)
+        clouds[f"figure_{seed}"] = (pts, nrm, blocks, binstr)
         print(f"figure_{seed}: {len(pts)} pts, {len(blocks)} blocks",
               flush=True)
 
@@ -173,36 +177,43 @@ def main():
             # weights are traced args: swapping them keeps every
             # compiled executable warm across the λ sweep
             codec.set_params(params)
-        for name, (pts, blocks, binstr) in clouds.items():
+        from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics as _cm
+        from pcc_geo_cnn_v2_tpu.utils.octree import departition_octree
+
+        for name, (pts, nrm, blocks, binstr) in clouds.items():
             t0 = time.time()
             if args.fixed_threshold:
-                from pcc_geo_cnn_v2_tpu.utils.metrics import (
-                    compute_metrics as _cm,
-                )
-                from pcc_geo_cnn_v2_tpu.utils.octree import (
-                    departition_octree,
-                )
-
                 data_list, _ = codec.compress_blocks(
                     blocks, binstr, pts, resolution, level,
                     fixed_threshold=True)
-                dec_blocks = codec.decompress_blocks(data_list[0])
-                dec = np.vstack(departition_octree(
-                    dec_blocks, binstr, [0, 0, 0], [resolution] * 3,
-                    level))
-                psnr = _cm(pts[:, :3], dec, resolution - 1)["d1_psnr"]
             else:
                 data_list, meta = codec.compress_blocks_device_opt(
                     blocks, binstr, pts, resolution, level)
-                psnr = meta[0]["metrics"]["d1_psnr"]
+            # decode the d1-group bitstream and score it on host with
+            # normals: one decode yields both metric columns of the
+            # reference's data.csv rows (d1_psnr + d2_psnr). With the
+            # adaptive sweep the device-side d1 is authoritative
+            # (<0.01 dB host agreement is tested elsewhere); the host
+            # value is recorded alongside as d1_psnr_host.
+            dec_blocks = codec.decompress_blocks(data_list[0])
+            dec = np.vstack(departition_octree(
+                dec_blocks, binstr, [0, 0, 0], [resolution] * 3, level))
+            m = _cm(pts[:, :3], dec, resolution - 1, p1_n=nrm)
+            row = {"lmbda": lmbda, "pc_name": name,
+                   "d2_psnr": m["d2_psnr"]}
+            if args.fixed_threshold:
+                row["d1_psnr"] = m["d1_psnr"]
+            else:
+                row["d1_psnr"] = meta[0]["metrics"]["d1_psnr"]
+                row["d1_psnr_host"] = m["d1_psnr"]
             raw = gzip.compress(
                 save_compressed_file(binstr, data_list[0], resolution,
                                      level))
-            bpp = len(raw) * 8 / len(pts)
-            results.append({"lmbda": lmbda, "pc_name": name, "bpp": bpp,
-                            "d1_psnr": psnr})
-            print(f"λ={lmbda:g} {name}: {bpp:.3f} bpp @ {psnr:.2f} dB "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+            row["bpp"] = len(raw) * 8 / len(pts)
+            results.append(row)
+            print(f"λ={lmbda:g} {name}: {row['bpp']:.3f} bpp @ "
+                  f"{row['d1_psnr']:.2f} dB d1 / {row['d2_psnr']:.2f} dB "
+                  f"d2 ({time.time()-t0:.0f}s)", flush=True)
 
     # builtin octree anchor curve on the same clouds (the reference's
     # headline comparison is learned-vs-G-PCC; tmc3 is absent here, so
@@ -214,22 +225,24 @@ def main():
     from pcc_geo_cnn_v2_tpu.utils.metrics import compute_metrics
 
     anchor_results = []
-    for name, (pts, _, _) in clouds.items():
+    for name, (pts, nrm, _, _) in clouds.items():
         # near-1 scales extend the curve into the learned curve's PSNR
         # range (67-72 dB) so BD-rate — not just BD-PSNR — is defined
         for scale in (0.96875, 0.9375, 0.875, 0.75, 0.5, 0.25, 0.125,
                       0.0625):
             data = anchor_encode(pts, resolution, scale=scale)
             dec, _ = anchor_decode(data)
-            m = compute_metrics(pts[:, :3], dec, resolution - 1)
+            m = compute_metrics(pts[:, :3], dec, resolution - 1, p1_n=nrm)
             anchor_results.append({
                 "scale": scale, "pc_name": name,
                 "bpp": len(data) * 8 / len(pts),
                 "d1_psnr": m["d1_psnr"],
+                "d2_psnr": m["d2_psnr"],
             })
             print(f"anchor s={scale} {name}: "
                   f"{anchor_results[-1]['bpp']:.3f} bpp @ "
-                  f"{m['d1_psnr']:.2f} dB", flush=True)
+                  f"{m['d1_psnr']:.2f} dB d1 / {m['d2_psnr']:.2f} dB d2",
+                  flush=True)
 
     # average curve + BD vs reference published curves
     from pcc_geo_cnn_v2_tpu.utils.bd import bdrate, bdsnr
@@ -257,26 +270,32 @@ def main():
         {"lmbda": r["lmbda"], "pc_name": r["pc_name"], "bpp": r["bpp"]}
         for r in results if not np.isfinite(r["d1_psnr"])
     ]
-    avg = [
-        (float(np.mean([r["bpp"] for r in pts])),
-         float(np.mean([r["d1_psnr"] for r in pts])))
-        for l in lambdas
-        if (pts := [r for r in results
-                    if r["lmbda"] == l and np.isfinite(r["d1_psnr"])])
-    ]
+
+    def avg_curve(rows, key, keyvals, metric):
+        # per-key (λ or scale) mean over clouds with a finite metric;
+        # rows from pre-d2 artifacts (anchor_only reuse) lack d2_psnr
+        # and are skipped wholesale
+        return [
+            (float(np.mean([r["bpp"] for r in pts])),
+             float(np.mean([r[metric] for r in pts])))
+            for k in keyvals
+            if (pts := [r for r in rows
+                        if r[key] == k
+                        and np.isfinite(r.get(metric, np.nan))])
+        ]
+
     scales = sorted({r["scale"] for r in anchor_results}, reverse=True)
-    anchor_avg = [
-        (float(np.mean([r["bpp"] for r in anchor_results
-                        if r["scale"] == s])),
-         float(np.mean([r["d1_psnr"] for r in anchor_results
-                        if r["scale"] == s])))
-        for s in scales
-    ]
+    avg = avg_curve(results, "lmbda", lambdas, "d1_psnr")
+    avg_d2 = avg_curve(results, "lmbda", lambdas, "d2_psnr")
+    anchor_avg = avg_curve(anchor_results, "scale", scales, "d1_psnr")
+    anchor_avg_d2 = avg_curve(anchor_results, "scale", scales, "d2_psnr")
     report = {"points": results, "avg_curve": avg,
+              "avg_curve_d2": avg_d2,
               "train_steps": train_steps,
               "bd_ignore_points": ignored,
               "anchor_points": anchor_results,
               "anchor_avg_curve": anchor_avg,
+              "anchor_avg_curve_d2": anchor_avg_d2,
               "bd_vs_builtin_octree_anchor": {
                   "bd_psnr_db": bdsnr_safe(anchor_avg, avg),
                   "bd_rate_pct": bdrate_safe(anchor_avg, avg),
@@ -286,6 +305,13 @@ def main():
                           "(coding/octree_anchor.py)",
               },
               "bd_vs_reference": {}}
+    if avg_d2 and anchor_avg_d2:
+        report["bd_vs_builtin_octree_anchor_d2"] = {
+            "bd_psnr_db": bdsnr_safe(anchor_avg_d2, avg_d2),
+            "bd_rate_pct": bdrate_safe(anchor_avg_d2, avg_d2),
+            "note": "point-to-plane (d2) variant of the same-content "
+                    "comparison; normals are scansim's analytic ones",
+        }
     for label, ref in reference_curves().items():
         ours = [(b, p) for b, p in avg]
         report["bd_vs_reference"][label] = {
@@ -294,6 +320,16 @@ def main():
             "note": "cross-content positioning (synthetic figures vs MPEG "
                     "scans), not a same-content comparison",
         }
+    if avg_d2:
+        for label, ref in reference_curves(
+                metric="d2_psnr", opt_group="d2").items():
+            report["bd_vs_reference"][label + "_d2"] = {
+                "bd_rate_pct": bdrate_safe(ref.tolist(), avg_d2),
+                "bd_psnr_db": bdsnr_safe(ref.tolist(), avg_d2),
+                "note": "cross-content d2 positioning; reference rows "
+                        "are d2-optimized encodes (opt_group d2), ours "
+                        "is the d1-group bitstream scored with d2",
+            }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps({"avg_curve": avg,

@@ -36,15 +36,22 @@ import numpy as np
 # to c4 on identical checkpoints too) and once as the full-protocol
 # flagship artifact (absolute positioning; its Δ is training-
 # contaminated and reported for context only).
+# (rung, results file, published BD-PSNR d1, published BD-PSNR d2).
+# The d2 column is computed from data.csv the same way as BASELINE.md's
+# d1 column (utils/bd.bdsnr on the 4-PC average curve vs trisoup,
+# metric d2_psnr / opt_group d2): c1 −2.39, c2 −1.62, c3 +1.19,
+# c4 +3.68, c5 +6.41.
 RUNGS = [
-    ("c1 (fixed thr)", "results/rd_c1_fixedthr.json", -0.72),
-    ("c2 (fixed thr)", "results/rd_c2_fixedthr.json", -0.25),
-    ("c3p-a0.9 (fixed thr)", "results/rd_c3p_a09_fixedthr.json", 1.79),
-    ("c3p-a0.75 (fixed thr)", "results/rd_c3p_a075_fixedthr.json", 3.71),
+    ("c1 (fixed thr)", "results/rd_c1_fixedthr.json", -0.72, -2.39),
+    ("c2 (fixed thr)", "results/rd_c2_fixedthr.json", -0.25, -1.62),
+    ("c3p-a0.9 (fixed thr)", "results/rd_c3p_a09_fixedthr.json",
+     1.79, 1.19),
+    ("c3p-a0.75 (fixed thr)", "results/rd_c3p_a075_fixedthr.json",
+     3.71, 3.68),
     ("c3p-a0.75 (adaptive, same ckpts)",
-     "results/rd_c3p_a075_trim_adaptive.json", 5.39),
+     "results/rd_c3p_a075_trim_adaptive.json", 5.39, 6.41),
     ("c3p-a0.75 (adaptive, flagship protocol)",
-     "results/rd_c3p_a075.json", 5.39),
+     "results/rd_c3p_a075.json", 5.39, 6.41),
 ]
 
 
@@ -55,8 +62,16 @@ def main():
     flagship = json.loads(Path("results/rd_c3p_a075.json").read_text())
     fallback_anchor = [tuple(p) for p in flagship["anchor_avg_curve"]]
 
+    def bd_of(anchor, ours):
+        ours = [q for q in ours if np.isfinite(q[0]) and np.isfinite(q[1])]
+        try:
+            bd = float(bdsnr([tuple(q) for q in anchor], ours))
+            return bd if np.isfinite(bd) else f"n/a (bdsnr={bd})"
+        except Exception as e:  # noqa: BLE001 - disjoint ranges etc.
+            return f"n/a ({e})"
+
     rows = []
-    for run_id, path, published in RUNGS:
+    for run_id, path, published, published_d2 in RUNGS:
         p = Path(path)
         if not p.exists():
             rows.append({"run_id": run_id, "status": "missing",
@@ -67,19 +82,18 @@ def main():
         # clouds (rd_eval embeds it), so every rung is a same-content
         # comparison; trimmed rungs share seeds 200-202, so their anchor
         # curves — and hence the deltas — are mutually consistent too
-        anchor = [tuple(q) for q in
-                  rep.get("anchor_avg_curve", fallback_anchor)]
-        ours = [tuple(q) for q in rep["avg_curve"]]
-        ours = [q for q in ours if np.isfinite(q[0]) and np.isfinite(q[1])]
-        try:
-            bd = float(bdsnr(anchor, ours))
-            if not np.isfinite(bd):
-                bd = f"n/a (bdsnr={bd})"
-        except Exception as e:  # noqa: BLE001 - disjoint ranges etc.
-            bd = f"n/a ({e})"
+        anchor = rep.get("anchor_avg_curve", fallback_anchor)
+        bd = bd_of(anchor, [tuple(q) for q in rep["avg_curve"]])
         row = {"run_id": run_id,
                "bd_psnr_vs_builtin_anchor": bd,
                "published_bd_psnr_vs_trisoup": published}
+        # d2 columns exist once the rung's artifact was produced by the
+        # d2-aware rd_eval (avg_curve_d2 on the d1-group bitstream)
+        if rep.get("avg_curve_d2") and rep.get("anchor_avg_curve_d2"):
+            row["bd_psnr_d2_vs_builtin_anchor"] = bd_of(
+                rep["anchor_avg_curve_d2"],
+                [tuple(q) for q in rep["avg_curve_d2"]])
+            row["published_bd_psnr_d2_vs_trisoup"] = published_d2
         # advisor r3: publish each rung's per-λ training budget so
         # deltas between rungs trained at different budgets (e.g. the
         # documented c1 10k-base exception) are visibly flagged
@@ -97,6 +111,14 @@ def main():
         b["published_delta_db"] = round(
             b["published_bd_psnr_vs_trisoup"]
             - a["published_bd_psnr_vs_trisoup"], 3)
+        if isinstance(a.get("bd_psnr_d2_vs_builtin_anchor"), float) and \
+                isinstance(b.get("bd_psnr_d2_vs_builtin_anchor"), float):
+            b["delta_d2_db"] = round(
+                b["bd_psnr_d2_vs_builtin_anchor"]
+                - a["bd_psnr_d2_vs_builtin_anchor"], 3)
+            b["published_delta_d2_db"] = round(
+                b["published_bd_psnr_d2_vs_trisoup"]
+                - a["published_bd_psnr_d2_vs_trisoup"], 3)
 
     report = {
         "note": "within-repo config ladder on 4 held-out synthetic clouds "
