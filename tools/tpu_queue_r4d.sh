@@ -27,5 +27,14 @@ step bench_d2_128 3600 env PCC_TIMING=1 BENCH_PIPELINE=2 \
   BENCH_OPT_METRICS=d1_mse,d2_mse PCC_AOT_CACHE=/tmp/aotcache \
   python -u bench.py
 
+# c2's r4c eval (17:08) predates the d2-aware rd_eval; regenerate it
+# from the committed assets so every ladder rung carries d2 columns,
+# then rebuild the ladder
+step eval_c2_d2 2400 env PCC_AOT_CACHE=/tmp/aotcache \
+  python -u tools/rd_eval.py models/rd10k/c2 --config c2 --run_id c2 \
+  --from-assets --fixed_threshold --seeds 200 201 202 \
+  --out results/rd_c2_fixedthr.json \
+  && step ladder_d2 600 python -u tools/rd_ladder.py
+
 qlog "ALL DONE $(date -u)"
 queue_status
