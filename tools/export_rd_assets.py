@@ -85,6 +85,30 @@ def main():
                     .isoformat(timespec="seconds"),
                 "bytes": out.stat().st_size,
             }
+            # commit the convergence record alongside the weights: the
+            # val-loss trajectory + best point documents whether the
+            # run converged or was budget-bound (VERDICT r3 #7 asks for
+            # an early-stop record retiring the "under-trained" caveat)
+            log = lam_dir / "train_log.jsonl"
+            if log.exists():
+                vals = []
+                for line in log.read_text().splitlines():
+                    try:
+                        d = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    v = d.get("val_loss",
+                              d.get("loss")
+                              if d.get("split") == "val" else None)
+                    if v is not None:
+                        vals.append([int(d["step"]), round(float(v), 4)])
+                if vals:
+                    best = min(vals, key=lambda t: t[1])
+                    manifest[lam_dir.name]["val_series"] = vals
+                    manifest[lam_dir.name]["best_val"] = {
+                        "step": best[0], "loss": best[1],
+                        "last_logged_step": vals[-1][0],
+                    }
             print(f"{lam_dir} (step {step}) -> {out} "
                   f"({out.stat().st_size / 1e6:.1f} MB)")
         manifest_path.write_text(json.dumps(manifest, indent=2))
