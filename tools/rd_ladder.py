@@ -124,10 +124,16 @@ def main():
     from pcc_geo_cnn_v2_tpu.utils.bd import bdsnr
 
     # fallback anchor for old artifacts without one (flagship's)
-    flagship = json.loads(Path("results/rd_c3p_a075.json").read_text())
-    fallback_anchor = [tuple(p) for p in flagship["anchor_avg_curve"]]
+    fallback_anchor = None
+    flagship_path = Path("results/rd_c3p_a075.json")
+    if flagship_path.exists():
+        flagship = json.loads(flagship_path.read_text())
+        if flagship.get("anchor_avg_curve"):
+            fallback_anchor = [tuple(p) for p in flagship["anchor_avg_curve"]]
 
     def bd_of(anchor, ours):
+        if anchor is None:
+            return "n/a (no anchor curve)"
         ours = [q for q in ours if np.isfinite(q[0]) and np.isfinite(q[1])]
         try:
             bd = float(bdsnr([tuple(q) for q in anchor], ours))
