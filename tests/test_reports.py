@@ -82,7 +82,7 @@ def test_rd_ladder_data_csv(tmp_path):
     import sys
     from pathlib import Path
 
-    def artifact(lmbdas, d2=True):
+    def artifact(lmbdas, d2=True, d2_group=False):
         points = [
             {"lmbda": l, "pc_name": pc, "bpp": 0.2 + 0.3 * i + j * 0.01,
              "d1_psnr": 60.0 + 2 * i + j,
@@ -90,6 +90,14 @@ def test_rd_ladder_data_csv(tmp_path):
             for i, l in enumerate(lmbdas)
             for j, pc in enumerate(["figure_200", "figure_201"])
         ]
+        if d2_group:  # rd_eval --d2_group: a d2-optimized bitstream row
+            points += [
+                {"lmbda": l, "pc_name": pc, "opt_group": "d2",
+                 "bpp": 0.21 + 0.3 * i + j * 0.01,
+                 "d2_psnr": 62.5 + 2 * i + j}
+                for i, l in enumerate(lmbdas)
+                for j, pc in enumerate(["figure_200", "figure_201"])
+            ]
         curve = lambda m: [  # noqa: E731
             [0.2 + 0.3 * i, {"d1": 60.5, "d2": 62.5}[m] + 2 * i]
             for i in range(len(lmbdas))]
@@ -113,7 +121,7 @@ def test_rd_ladder_data_csv(tmp_path):
     (res / "rd_c2_fixedthr.json").write_text(
         json.dumps(artifact([1e-5, 5e-5])))
     (res / "rd_c3p_a09_fixedthr.json").write_text(
-        json.dumps(artifact([1e-5, 5e-5, 3e-4])))
+        json.dumps(artifact([1e-5, 5e-5, 3e-4], d2_group=True)))
     script = Path(__file__).resolve().parent.parent / "tools/rd_ladder.py"
     proc = subprocess.run([sys.executable, str(script)], cwd=tmp_path,
                           capture_output=True, text=True)
@@ -133,11 +141,14 @@ def test_rd_ladder_data_csv(tmp_path):
         "eval_id", "label", "metric", "mode_id", "opt_group",
         "pc_name", "x", "y", "ylabel"]
     # anchor (2 scales x 2 pcs x 2 metrics) + c2 (4 pts x 2 metrics)
-    # + c3 (6 pts x 2 metrics)
-    assert len(rows) == 8 + 8 + 12
+    # + c3 (6 pts x 2 metrics + 6 d2-group pts x 1 metric)
+    assert len(rows) == 8 + 8 + 12 + 6
     labels = {(r["label"], r["metric"], r["mode_id"], r["opt_group"],
                r["ylabel"]) for r in rows}
     assert ("c3", "d2_psnr", "c3p", "d1", "D2 PSNR (dB)") in labels
+    assert ("c3", "d2_psnr", "c3p", "d2", "D2 PSNR (dB)") in labels
+    # d2-group points emit ONLY the d2 metric
+    assert ("c3", "d1_psnr", "c3p", "d2", "D1 PSNR (dB)") not in labels
     assert ("c2", "d1_psnr", "c2", "d1", "D1 PSNR (dB)") in labels
     assert ("CABAC octree (builtin)", "d1_psnr", "octree-cabac", "d1",
             "D1 PSNR (dB)") in labels

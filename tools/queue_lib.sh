@@ -75,3 +75,21 @@ queue_status() {
   qlog "state in $STATE_DIR:"
   ls "$STATE_DIR" | sed "s/^/[$QUEUE_NAME]    /"
 }
+
+wait_for_queue() {  # wait_for_queue <name> — block until that queue's
+  # ALL DONE marker appears in its .out, or both its .out and state dir
+  # have been silent for 45 min (the queue died). Lets several queues
+  # be staged at once on the single TPU.
+  local out="$QUEUE_STATE_ROOT/$1.out" dir="$QUEUE_STATE_ROOT/$1"
+  [ -f "$out" ] || return 0
+  while true; do
+    grep -q "ALL DONE" "$out" && { qlog "$1 finished $(date -u)"; return 0; }
+    local newest
+    newest=$(find "$out" "$dir" -type f -mmin -45 2>/dev/null | head -1)
+    if [ -z "$newest" ]; then
+      qlog "$1 silent for 45 min with no ALL DONE; assuming dead $(date -u)"
+      return 0
+    fi
+    sleep 60
+  done
+}

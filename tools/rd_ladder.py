@@ -83,10 +83,13 @@ def write_data_csv(reports):
     One row per (rung, metric, cloud, rate point), plus the builtin
     CABAC octree anchor's points (taken from the artifact with the
     most eval clouds — trimmed rungs share seeds, the flagship adds
-    one, so the widest anchor is a superset). opt_group is always
-    ``d1``: every bitstream here is d1-optimized and d2_psnr rows are
-    measured on that same bitstream, unlike the reference, which
-    encodes a second d2-optimized group (compress_octree.py:109-118).
+    one, so the widest anchor is a superset). Points tagged
+    ``opt_group: d2`` by ``rd_eval --d2_group`` are true d2-optimized
+    bitstreams and emit a (d2_psnr, opt_group=d2) row, matching the
+    reference's convention; untagged points are d1-optimized and their
+    d2_psnr rows keep opt_group=d1 (measured on the d1 bitstream,
+    unlike the reference, which always encodes a second d2 group —
+    compress_octree.py:109-118).
     """
     rows = []
     anchor_src = max(
@@ -105,10 +108,13 @@ def write_data_csv(reports):
     for run_id, rep in reports:
         label, mode_id = CSV_LABELS.get(run_id, (run_id, run_id))
         for p in rep.get("points", []):
-            for metric in ("d1_psnr", "d2_psnr"):
+            group = p.get("opt_group", "d1")
+            metrics = ("d2_psnr",) if group == "d2" else \
+                ("d1_psnr", "d2_psnr")
+            for metric in metrics:
                 if metric not in p or not np.isfinite(p[metric]):
                     continue
-                rows.append(["main", label, metric, mode_id, "d1",
+                rows.append(["main", label, metric, mode_id, group,
                              p["pc_name"], p["bpp"], p[metric],
                              YLABEL[metric]])
     out = Path("results/data.csv")
