@@ -173,16 +173,9 @@ def main():
     ckpt = (Path(__file__).parent
             / "pcc_geo_cnn_v2_tpu/assets/bench_c3p.msgpack.gz")
     if ckpt.exists():
-        from flax import serialization
-        from pcc_geo_cnn_v2_tpu.training import create_train_state, TrainConfig
+        from pcc_geo_cnn_v2_tpu.cli.common import load_params_asset
 
-        template = jax.device_get(
-            create_train_state(model, jax.random.PRNGKey(0),
-                               TrainConfig(block_size=16)).params
-        )
-        params = serialization.from_bytes(
-            template, gzip.decompress(ckpt.read_bytes())
-        )
+        params = load_params_asset(model, ckpt)
         log(f"loaded benchmark checkpoint {ckpt.name}")
     else:
         from pcc_geo_cnn_v2_tpu.training import (
@@ -252,7 +245,6 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
                  with_normals=normals_env, point_budget=budget,
                  flat_budget=flat_budget)
     codec.warmup_cloud_shapes([len(blocks) for _, blocks, _ in clouds],
-                              n_metrics=len(opt_metrics_env),
                               point_budget=budget)
     # elapsed-since-process-start: the cold-start metric the AOT cache
     # ($PCC_AOT_CACHE) targets — compare a fresh process with a
@@ -302,7 +294,12 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
     log(f"encode {t_enc:.2f}s ({n_blocks/t_enc:.2f} blocks/s), "
         f"{bpp:.3f} bpp [pipeline={workers}]")
     if with_normals:
-        for g, grp in enumerate(opt_metrics):
+        # metadata group order is d1-then-d2 (fixed by
+        # select_best_per_opt_metric's opt_groups), NOT the env's
+        # opt_metrics order — label from the actual group sequence
+        groups = [g for g in ("d1", "d2")
+                  if any(m.startswith(g) for m in opt_metrics)]
+        for g, grp in enumerate(groups):
             ms = [m[g]["metrics"] for m in metas if m[g].get("metrics")]
             for key in ("d1_psnr", "d2_psnr"):
                 vals = [m[key] for m in ms if key in m]

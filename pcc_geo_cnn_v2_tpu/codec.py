@@ -761,12 +761,12 @@ class BlockCodec:
                 pool.submit(warm_rerun),
                 pool.submit(blockwise_d1_sums, packed, packed, origins,
                             self.block_size, halo=self.halo_width,
-                            batch=self.halo_batch),
+                            batch=self.halo_batch, aot=self._aot_ok),
             ]
             for f in futs:
                 f.result()
 
-    def warmup_cloud_shapes(self, n_list, n_metrics=1, point_budget=4096):
+    def warmup_cloud_shapes(self, n_list, point_budget=4096):
         """Precompile the per-cloud-size executables (concat arities,
         halo gathers, overflow-rerun gathers/scatter) for clouds of the
         given block counts.
@@ -1138,14 +1138,21 @@ class BlockCodec:
                                          with_normals)
         yidx_futs, sweep_futs = [], []
         mask_chunks = [[] for _ in range(n_metrics)]
-        xhat_dev = []  # canonical x_hat per chunk, kept for the rerun
+        # canonical x_hat per chunk, kept ONLY when the bucket sweep can
+        # overflow and trigger a rerun (the normals path runs the exact
+        # per-block map and never overflows); retaining it otherwise
+        # pins ~1 MB/block f32 in HBM for the whole dec+sweep phase —
+        # 2 GB/cloud at batch 128, right at the d2 config's HBM edge
+        keep_xhat = self.sweep_backend == "bucket" and not with_normals
+        xhat_dev = []
         for k in range(nck):
             _, params_k = self._chunk_dev(k)
             if self.is_v2:
                 yi = self._decode_z(params_k, feeds[k]["z_sym"])
                 yidx_futs.append(fetchers.submit(jax.device_get, yi))
             x_hat = self._dec_fn(params_k, feeds[k]["y_sym"])
-            xhat_dev.append(x_hat)
+            if keep_xhat:
+                xhat_dev.append(x_hat)
             nrm_k = ((syms_dev[k]["nrm"],) if with_normals else ())
             res = sweep_mask(params_k, syms_dev[k]["packed_occ"], x_hat,
                              syms_dev[k]["pts16"], *nrm_k)
@@ -1218,7 +1225,7 @@ class BlockCodec:
                 i: fetchers.submit(
                     blockwise_d1_sums, occ_cat, packed_dev_by_metric[i],
                     origins_early, self.block_size, halo=self.halo_width,
-                    batch=self.halo_batch)
+                    batch=self.halo_batch, aot=self._aot_ok)
                 for i in d1_entries
             }
 
@@ -1381,7 +1388,8 @@ class BlockCodec:
             sums = blockwise_d1_sums(occ_packed, mask_packed, origins,
                                      self.block_size,
                                      halo=self.halo_width,
-                                     batch=self.halo_batch)
+                                     batch=self.halo_batch,
+                                     aot=self._aot_ok)
         t_sums = time.time() - t0
         if sums["n_b"] == 0:  # all blocks hit the failure guard
             return {"d1_psnr": -np.inf}

@@ -182,13 +182,13 @@ def _pad_zero_rows(a, *, rows):
 _dir_fn_cache = {}
 
 
-def _dir_fn_aot(size, halo, backend, interpret):
+def _dir_fn_aot(size, halo, backend, interpret, aot=True):
     """Per-(size, halo, backend) single-direction executable, wrapped in
     the cross-process AOT cache: the halo-EDT kernel is the slowest
     remote compile of the codec (~100 s per fresh process measured in
     every r4 bench warmup) and was the one hot executable still outside
     ``$PCC_AOT_CACHE``."""
-    key = (size, halo, backend, interpret)
+    key = (size, halo, backend, interpret, aot)
     fn = _dir_fn_cache.get(key)
     if fn is None:
         from pcc_geo_cnn_v2_tpu.aot import aot_jit
@@ -200,13 +200,17 @@ def _dir_fn_aot(size, halo, backend, interpret):
         else:
             def base(q, t):
                 return _halo_dir_chunk(q, t, size=size, halo=halo)
-        fn = aot_jit(base, name=f"halo_{backend}_{size}_{halo}")
+        # ``aot=False`` from multi-device wrap sites: deserialized AOT
+        # executables are bound to jax.devices()[0] (see aot.py) and must
+        # not serve codecs running round-robin on other devices
+        fn = aot_jit(base, name=f"halo_{backend}_{size}_{halo}",
+                     enabled=aot)
         _dir_fn_cache[key] = fn
     return fn
 
 
 def _halo_d1_chunk(a_nb, b_nb, *, size, halo, backend="xla",
-                   interpret=False):
+                   interpret=False, aot=True):
     """Both directional D1 partial sums for one block chunk.
 
     Two separate calls per direction by design: fusing both directions
@@ -214,7 +218,7 @@ def _halo_d1_chunk(a_nb, b_nb, *, size, halo, backend="xla",
     volume returns corrupted distances — XLA buffer-reuse bug, reproduced
     and isolated 2026-08-16; single-direction executables verify exactly).
     """
-    dir_fn = _dir_fn_aot(size, halo, backend, interpret)
+    dir_fn = _dir_fn_aot(size, halo, backend, interpret, aot)
     ab = dir_fn(a_nb, b_nb)
     ba = dir_fn(b_nb, a_nb)
     out = {}
@@ -225,7 +229,7 @@ def _halo_d1_chunk(a_nb, b_nb, *, size, halo, backend="xla",
 
 
 def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
-                      backend="auto"):
+                      backend="auto", aot=True):
     """Exact full-cloud directional D1 sums between clouds A and B.
 
     :param a_packed: [N, B³/8] uint8 packed voxel grids (device or host).
@@ -268,7 +272,7 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
         # synchronous tunnel round-trips on the remote-TPU plugin
         a_nb, b_nb = _halo_gather(a_ext, b_ext, jnp.asarray(idx))
         outs.append(_halo_d1_chunk(a_nb, b_nb, size=size, halo=halo,
-                                   backend=backend))
+                                   backend=backend, aot=aot))
     t_dispatch = time.time() - t0
     # fetch scalars as ONE device-concatenated transfer per key (fetching
     # per-chunk leaves pays ~50 ms tunnel latency each); outlier bitmaps
@@ -422,6 +426,9 @@ def blockwise_d2_metrics(a_pts, a_nrm, b_packed, b_blocks, origins, size,
     from pcc_geo_cnn_v2_tpu.ops.voxel import pack_points
 
     t0 = time.time()
+    assert np.shape(points)[1] >= 6, (
+        "d2 metrics need the original cloud WITH normal columns 3:6; "
+        f"got shape {np.shape(points)}")
     origins = np.asarray(origins, np.int64)
     n_b_total = sum(len(b) for b in b_blocks)
     if n_b_total == 0:

@@ -94,11 +94,9 @@ def main():
     model = build_model("c3p", dtype=jnp.bfloat16)
     ckpt = (Path(__file__).resolve().parent.parent
             / "pcc_geo_cnn_v2_tpu/assets/bench_c3p.msgpack.gz")
-    template = jax.device_get(
-        create_train_state(model, jax.random.PRNGKey(0),
-                           TrainConfig(block_size=16)).params)
-    params = serialization.from_bytes(template,
-                                      gzip.decompress(ckpt.read_bytes()))
+    from pcc_geo_cnn_v2_tpu.cli.common import load_params_asset
+
+    params = load_params_asset(model, ckpt)
     codec = BlockCodec(model, params, block_size=64, batch_blocks=bs,
                        sweep_backend="bucket")
 

@@ -76,19 +76,30 @@ queue_status() {
   ls "$STATE_DIR" | sed "s/^/[$QUEUE_NAME]    /"
 }
 
+queue_alive() {  # queue_alive <name> — is that queue's bash process running?
+  # Liveness CHECK only (no signals sent): a queue that is itself
+  # blocked in wait_for_queue is silent with an empty state dir, so
+  # file freshness alone misreads a waiting queue as dead (this fired
+  # 2026-08-19: r4e declared r4d dead while r4d waited on r4c).
+  pgrep -f "bash tools/tpu_queue_$1.sh" >/dev/null 2>&1
+}
+
 wait_for_queue() {  # wait_for_queue <name> — block until that queue's
-  # ALL DONE marker appears in its .out, or both its .out and state dir
-  # have been silent for 45 min (the queue died). Lets several queues
-  # be staged at once on the single TPU.
+  # ALL DONE marker appears in its .out, or the queue is truly dead:
+  # no live process AND its .out + state dir silent for 45 min (the
+  # silence window rides out relaunch gaps). Lets several queues be
+  # staged at once on the single TPU.
   local out="$QUEUE_STATE_ROOT/$1.out" dir="$QUEUE_STATE_ROOT/$1"
   [ -f "$out" ] || return 0
   while true; do
     grep -q "ALL DONE" "$out" && { qlog "$1 finished $(date -u)"; return 0; }
-    local newest
-    newest=$(find "$out" "$dir" -type f -mmin -45 2>/dev/null | head -1)
-    if [ -z "$newest" ]; then
-      qlog "$1 silent for 45 min with no ALL DONE; assuming dead $(date -u)"
-      return 0
+    if ! queue_alive "$1"; then
+      local newest
+      newest=$(find "$out" "$dir" -type f -mmin -45 2>/dev/null | head -1)
+      if [ -z "$newest" ]; then
+        qlog "$1 process gone + silent 45 min, no ALL DONE; assuming dead $(date -u)"
+        return 0
+      fi
     fi
     sleep 60
   done

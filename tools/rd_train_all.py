@@ -226,6 +226,20 @@ def main():
                           f"(best val {best_val:.1f} @ {best_step})",
                           flush=True)
                     break
+        else:
+            # budget exhausted between 1000-step probes: give the tail
+            # a final probe so best-val checkpointing can't silently
+            # discard it (e.g. --ft_steps 1500 with --patience_steps)
+            if args.patience_steps and done_steps % 1000 != 0:
+                vloss = float(val_fn(state.params, val_data,
+                                     jax.random.PRNGKey(7)))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({"step": done_steps,
+                                        "split": "final_probe",
+                                        "val_loss": vloss}) + "\n")
+                if vloss < best_val:
+                    best_val, best_step = vloss, done_steps
+                    best_params = jax.device_get(state.params)
         if best_params is not None:
             # reference semantics: the checkpoint is the BEST-val model
             # (tr_train.py best-loss Saver), not the last step. The

@@ -22,22 +22,7 @@ QUEUE_NAME=r4d
 cd /root/repo
 source tools/queue_lib.sh
 
-wait_for_queue() {  # wait_for_queue <name> — ALL DONE, or silence = dead
-  local out="$QUEUE_STATE_ROOT/$1.out" dir="$QUEUE_STATE_ROOT/$1"
-  [ -f "$out" ] || return 0
-  while true; do
-    grep -q "ALL DONE" "$out" && { qlog "$1 finished $(date -u)"; return 0; }
-    local newest
-    newest=$(find "$out" "$dir" -type f -mmin -45 2>/dev/null | head -1)
-    if [ -z "$newest" ]; then
-      qlog "$1 silent for 45 min with no ALL DONE; assuming dead $(date -u)"
-      return 0
-    fi
-    sleep 60
-  done
-}
-
-wait_for_queue r4c
+wait_for_queue r4c  # from queue_lib (process-liveness aware)
 wait_tunnel || exit 1
 
 # --- 1. d2-optimized encode on hardware, with batch-64 fallback ----------
