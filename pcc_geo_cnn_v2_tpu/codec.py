@@ -826,6 +826,27 @@ class BlockCodec:
         points, _ = pack_points(blocks, max_points=budget)
         return self._run_chunked(self._encode, [points], n)
 
+    def entropy_encode_all(self, out, n):
+        """Range-code ALL n blocks' symbols in (at most) two native batch
+        calls → list of per-block string tuples.
+
+        One ctypes call per latent stream family replaces n per-block
+        submissions: on the single-core bench host the per-block path's
+        cost is Python dispatch + per-call conversions competing with the
+        fetch threads for the GIL, not the coding itself (the batch call
+        releases the GIL for the entire C++ loop)."""
+        if self.is_v2:
+            y = rc.encode_batch(out["y_sym"][:n], out["y_idx"][:n],
+                                self.gc_table)
+            z = rc.encode_batch(out["z_sym"][:n],
+                                self._channel_indexes(self.z_shape),
+                                self.eb_table)
+            return list(zip(y, z))
+        y = rc.encode_batch(out["y_sym"][:n],
+                            self._channel_indexes(self.y_shape),
+                            self.eb_table)
+        return [(s,) for s in y]
+
     def entropy_encode(self, out, i):
         """Range-code block i's symbols → tuple of strings."""
         if self.is_v2:
@@ -1233,9 +1254,8 @@ class BlockCodec:
         # rANS coder releases the GIL, so its threads run while the main
         # thread blocks on device fetches inside the metric passes
         t0 = time.time()
-        entropy_pool = ThreadPoolExecutor(self.threads)
-        strings_futs = [entropy_pool.submit(self.entropy_encode, out, i)
-                        for i in range(n)]
+        entropy_pool = ThreadPoolExecutor(1)
+        strings_fut = entropy_pool.submit(self.entropy_encode_all, out, n)
         t_entropy_submit = time.time() - t0
         threshold_list = [list(map(int, row)) for row in picks]
         t0 = time.time()
@@ -1261,7 +1281,7 @@ class BlockCodec:
         t_select = time.time() - t0
         tlog("select done")
         t0 = time.time()
-        strings_list = [f.result() for f in strings_futs]
+        strings_list = strings_fut.result()
         entropy_pool.shutdown()
         fetchers.shutdown()
         t_entropy = t_entropy_submit + (time.time() - t0)
@@ -1518,10 +1538,8 @@ class BlockCodec:
                 self._decode_z, [narrow_symbols(out["z_sym"])], n
             )
 
+        strings_list = self.entropy_encode_all(out, n)
         with ThreadPoolExecutor(self.threads) as pool:
-            strings_list = list(
-                pool.map(lambda i: self.entropy_encode(out, i), range(n))
-            )
 
             def opt_one(i):
                 block = np.asarray(blocks[i])
@@ -1608,46 +1626,27 @@ class BlockCodec:
             return self._mask_pack_only(self._dec_fn(params, y_chunk),
                                         thr_chunk)
 
+        # single-batch native rANS: one ctypes call per stream family
+        # (GIL released throughout) instead of a per-block thread pool —
+        # see entropy_encode_all for the single-core rationale
         t0 = time.time()
         if self.is_v2:
             z_idx = self._channel_indexes(self.z_shape)
-            with ThreadPoolExecutor(self.threads) as pool:
-                z_syms = narrow(np.stack(
-                    list(
-                        pool.map(
-                            lambda p: rc.decode(p[0][1], z_idx, self.eb_table),
-                            payload,
-                        )
-                    )
-                ))
+            z_syms = narrow(rc.decode_batch([p[0][1] for p in payload],
+                                            z_idx, self.eb_table,
+                                            per_stream=False))
             t0 = mark("z_rans", t0)
             dz = self._run_chunked(self._decode_z, [z_syms], n)  # y indexes
             t0 = mark("decode_z", t0)
-            with ThreadPoolExecutor(self.threads) as pool:
-                y_syms = narrow(np.stack(
-                    list(
-                        pool.map(
-                            lambda args: rc.decode(
-                                args[0][0][0],
-                                args[1].astype(np.int32),
-                                self.gc_table,
-                            ),
-                            zip(payload, dz),
-                        )
-                    )
-                ))
+            y_syms = narrow(rc.decode_batch(
+                [p[0][0] for p in payload],
+                np.asarray(dz, np.int32), self.gc_table, per_stream=True))
             t0 = mark("y_rans", t0)
         else:
             y_idx = self._channel_indexes(self.y_shape)
-            with ThreadPoolExecutor(self.threads) as pool:
-                y_syms = narrow(np.stack(
-                    list(
-                        pool.map(
-                            lambda p: rc.decode(p[0][0], y_idx, self.eb_table),
-                            payload,
-                        )
-                    )
-                ))
+            y_syms = narrow(rc.decode_batch([p[0][0] for p in payload],
+                                            y_idx, self.eb_table,
+                                            per_stream=False))
             t0 = mark("y_rans", t0)
         # mirror of the encoder's sparse transfer: int8 symbol batches
         # upload as a (position, value) list and scatter to the dense grid

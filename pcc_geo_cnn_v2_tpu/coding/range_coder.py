@@ -23,7 +23,8 @@ import numpy as np
 
 from pcc_geo_cnn_v2_tpu.models.entropy import CdfTable
 
-__all__ = ["encode", "decode", "encode_py", "decode_py", "native_available"]
+__all__ = ["encode", "decode", "encode_batch", "decode_batch",
+           "encode_py", "decode_py", "native_available"]
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _SO_PATH = _NATIVE_DIR / "librange_coder.so"
@@ -91,6 +92,22 @@ def _get_lib():
             u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
             i32p, i32p, ctypes.c_int32, ctypes.c_int32, u16p, i32p,
         ]
+        try:  # batch entry points (absent only in a stale prebuilt .so)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.pcc_rc_encode_batch.restype = ctypes.c_int64
+            lib.pcc_rc_encode_batch.argtypes = [
+                i32p, i32p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                i32p, ctypes.c_int64, i32p, i32p, ctypes.c_int32,
+                ctypes.c_int32, u8p, ctypes.c_int64, i64p,
+            ]
+            lib.pcc_rc_decode_lut_batch.restype = ctypes.c_int64
+            lib.pcc_rc_decode_lut_batch.argtypes = [
+                u8p, i64p, i32p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, i32p, ctypes.c_int64, i32p, i32p,
+                ctypes.c_int32, ctypes.c_int32, u16p, i32p,
+            ]
+        except AttributeError:
+            pass  # encode_batch/decode_batch fall back to per-block calls
         _lib = lib
     return _lib
 
@@ -159,6 +176,102 @@ def encode(symbols, indexes, table: CdfTable,
     if n < 0:
         raise RuntimeError("range encoder overflow")
     return out[:n].tobytes()
+
+
+def encode_batch(symbols, indexes, table: CdfTable,
+                 overflow_width=_OVERFLOW_WIDTH):
+    """Range-encode ``n`` same-shape symbol blocks in ONE native call.
+
+    The bench host has a single core, so the per-block thread pool around
+    :func:`encode` gains nothing from parallelism — its cost is n× Python
+    dispatch, array conversion, and a 0.5 MB allocation per call, all
+    competing for the GIL with the codec's fetch threads. This path does
+    the dtype conversion once for the whole batch and stays inside the
+    C++ loop (GIL released) for every stream.
+
+    :param symbols: [n, ...] array — one stream per leading row.
+    :param indexes: CDF-row indexes, either one shared row shaped like
+        ``symbols[0]`` (channel indexes) or per-stream rows shaped like
+        ``symbols``.
+    :return: list of n ``bytes``, each byte-identical to
+        ``encode(symbols[i], indexes_i, table)``.
+    """
+    symbols = np.ascontiguousarray(np.asarray(symbols, np.int32))
+    n = symbols.shape[0]
+    if n == 0:
+        return []
+    stream_len = int(np.prod(symbols.shape[1:], dtype=np.int64))
+    indexes = np.ascontiguousarray(np.asarray(indexes, np.int32))
+    shared = indexes.size == stream_len
+    assert shared or indexes.size == symbols.size, \
+        (indexes.shape, symbols.shape)
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "pcc_rc_encode_batch"):
+        return [encode(symbols[i], indexes if shared else indexes[i],
+                       table, overflow_width) for i in range(n)]
+    cdf, cdf_len, offset = _as_c(table)
+    capacity = 16 * n + symbols.size * 16  # worst case: deep escapes
+    out = np.empty(capacity, np.uint8)  # lazy pages; streams are ~KB
+    offs = np.empty(n + 1, np.int64)
+    total = lib.pcc_rc_encode_batch(
+        symbols.reshape(-1), indexes.reshape(-1), int(shared), n,
+        stream_len, cdf, cdf.shape[1], cdf_len, offset, table.precision,
+        overflow_width, out, capacity, offs)
+    if total < 0:
+        raise RuntimeError("range encoder overflow")
+    return [out[offs[i]:offs[i + 1]].tobytes() for i in range(n)]
+
+
+def decode_batch(datas, indexes, table: CdfTable,
+                 overflow_width=_OVERFLOW_WIDTH,
+                 per_stream=None) -> np.ndarray:
+    """Inverse of :func:`encode_batch`: decode ``n`` streams in ONE
+    native call.
+
+    :param datas: sequence of n ``bytes`` streams.
+    :param indexes: one shared row (any shape) or per-stream rows
+        ``[n, ...]``.
+    :param per_stream: True when ``indexes`` is [n, *row], False for one
+        shared row. None infers [n, *row] from the leading dim — WRONG
+        for a shared multi-dim row whose leading dim happens to equal n
+        (e.g. a v1 y-index row with 8 leading voxels and 8 streams), so
+        call sites that can hit that pass it explicitly.
+    :return: int32 ``[n, *row_shape]`` symbols.
+    """
+    n = len(datas)
+    indexes = np.asarray(indexes, np.int32)
+    if per_stream is None:
+        per_stream = indexes.ndim >= 2 and indexes.shape[0] == n
+    if per_stream:
+        shared = False
+        row_shape = indexes.shape[1:]
+    else:
+        shared = True
+        row_shape = indexes.shape
+    stream_len = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
+    lib = _get_lib()
+    if n == 0:
+        return np.empty((0,) + tuple(row_shape), np.int32)
+    if lib is None or not hasattr(lib, "pcc_rc_decode_lut_batch"):
+        rows = [decode(datas[i], indexes if shared else indexes[i],
+                       table, overflow_width) for i in range(n)]
+        return np.stack(rows).astype(np.int32)
+    cdf, cdf_len, offset = _as_c(table)
+    lens = np.fromiter((len(d) for d in datas), np.int64, count=n)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.frombuffer(b"".join(datas), np.uint8)
+    if buf.size == 0:
+        buf = np.empty(1, np.uint8)  # valid pointer for ctypes
+    flat_idx = np.ascontiguousarray(indexes.reshape(-1))
+    out = np.empty(n * stream_len, np.int32)
+    lut = _get_lut(table, cdf, cdf_len)
+    rc = lib.pcc_rc_decode_lut_batch(
+        buf, offs, flat_idx, int(shared), n, stream_len, cdf, cdf.shape[1],
+        cdf_len, offset, table.precision, overflow_width, lut, out)
+    if rc != 0:
+        raise ValueError("malformed range-coded stream")
+    return out.reshape((n,) + tuple(row_shape))
 
 
 def decode(data: bytes, indexes, table: CdfTable,

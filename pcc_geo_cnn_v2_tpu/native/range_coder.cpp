@@ -77,21 +77,20 @@ inline int64_t overflow_bucket(uint64_t v, int64_t num_regular) {
   return -static_cast<int64_t>(v >> 1) - 1;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns bytes written, or -1 on overflow of out_capacity / bad args.
-int64_t pcc_rc_encode(const int32_t* symbols, const int32_t* indexes,
-                      int64_t n, const int32_t* cdf, int64_t cdf_stride,
-                      const int32_t* cdf_length, const int32_t* offset,
-                      int32_t precision, int32_t overflow_width,
-                      uint8_t* out, int64_t out_capacity) {
+// Single-stream encode core. Scratch vectors are thread_local so batch
+// callers pay one allocation per thread, not one per stream.
+static int64_t rc_encode_impl(const int32_t* symbols, const int32_t* indexes,
+                              int64_t n, const int32_t* cdf,
+                              int64_t cdf_stride, const int32_t* cdf_length,
+                              const int32_t* offset, int32_t precision,
+                              int32_t overflow_width, uint8_t* out,
+                              int64_t out_capacity) {
   const uint32_t w = static_cast<uint32_t>(overflow_width);
   const uint32_t unit_bits = w + 1;
   const uint32_t cont_flag = 1u << w;
 
-  std::vector<Event> events;
+  static thread_local std::vector<Event> events;
+  events.clear();
   events.reserve(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) {
     const int32_t row = indexes[i];
@@ -121,7 +120,8 @@ int64_t pcc_rc_encode(const int32_t* symbols, const int32_t* indexes,
   }
 
   uint64_t x = kRansL;
-  std::vector<uint32_t> words;
+  static thread_local std::vector<uint32_t> words;
+  words.clear();
   words.reserve(events.size() / 2 + 4);
   for (auto it = events.rbegin(); it != events.rend(); ++it) {
     rans_enc(x, words, it->start, it->freq, it->bits);
@@ -138,6 +138,57 @@ int64_t pcc_rc_encode(const int32_t* symbols, const int32_t* indexes,
   }
   return total;
 }
+
+}  // namespace
+
+extern "C" {
+
+// Returns bytes written, or -1 on overflow of out_capacity / bad args.
+int64_t pcc_rc_encode(const int32_t* symbols, const int32_t* indexes,
+                      int64_t n, const int32_t* cdf, int64_t cdf_stride,
+                      const int32_t* cdf_length, const int32_t* offset,
+                      int32_t precision, int32_t overflow_width,
+                      uint8_t* out, int64_t out_capacity) {
+  return rc_encode_impl(symbols, indexes, n, cdf, cdf_stride, cdf_length,
+                        offset, precision, overflow_width, out, out_capacity);
+}
+
+// Batch encode of ``n_streams`` independent equal-length streams in ONE
+// foreign call (the bench host has a single core: the win is dropping
+// per-stream Python/ctypes overhead and holding the GIL released for the
+// whole batch, not parallelism). ``symbols`` is [n_streams * stream_len];
+// ``indexes`` is one shared row of ``stream_len`` entries when
+// ``shared_indexes`` is nonzero, else [n_streams * stream_len]. Streams
+// are written back-to-back into ``out``; ``out_offsets`` (n_streams + 1
+// entries) receives the byte offsets. Each stream is byte-identical to a
+// pcc_rc_encode call on the same row. Returns total bytes, or -1 on
+// capacity overflow.
+int64_t pcc_rc_encode_batch(const int32_t* symbols, const int32_t* indexes,
+                            int32_t shared_indexes, int64_t n_streams,
+                            int64_t stream_len, const int32_t* cdf,
+                            int64_t cdf_stride, const int32_t* cdf_length,
+                            const int32_t* offset, int32_t precision,
+                            int32_t overflow_width, uint8_t* out,
+                            int64_t out_capacity, int64_t* out_offsets) {
+  int64_t pos = 0;
+  out_offsets[0] = 0;
+  for (int64_t s = 0; s < n_streams; ++s) {
+    const int32_t* idx =
+        shared_indexes ? indexes : indexes + s * stream_len;
+    const int64_t nb = rc_encode_impl(
+        symbols + s * stream_len, idx, stream_len, cdf, cdf_stride,
+        cdf_length, offset, precision, overflow_width, out + pos,
+        out_capacity - pos);
+    if (nb < 0) return -1;
+    pos += nb;
+    out_offsets[s + 1] = pos;
+  }
+  return pos;
+}
+
+}  // extern "C"
+
+namespace {
 
 // Returns 0 on success, -1 on malformed stream. When ``lut`` is
 // non-null it maps (row, slot) -> bucket directly (slot->bucket lookup
@@ -156,7 +207,8 @@ static int64_t rc_decode_impl(const uint8_t* in, int64_t in_len,
   const uint32_t unit_bits = w + 1;
   const uint32_t cont_flag = 1u << w;
 
-  std::vector<uint32_t> words((in_len - 8) / 4);
+  static thread_local std::vector<uint32_t> words;
+  words.resize((in_len - 8) / 4);
   for (size_t i = 0; i < words.size(); ++i) {
     std::memcpy(&words[i], in + 8 + 4 * i, 4);
   }
@@ -208,6 +260,10 @@ static int64_t rc_decode_impl(const uint8_t* in, int64_t in_len,
   return 0;
 }
 
+}  // namespace
+
+extern "C" {
+
 int64_t pcc_rc_decode(const uint8_t* in, int64_t in_len,
                       const int32_t* indexes, int64_t n, const int32_t* cdf,
                       int64_t cdf_stride, const int32_t* cdf_length,
@@ -226,6 +282,30 @@ int64_t pcc_rc_decode_lut(const uint8_t* in, int64_t in_len,
                           const uint16_t* lut, int32_t* symbols_out) {
   return rc_decode_impl(in, in_len, indexes, n, cdf, cdf_stride, cdf_length,
                         offset, precision, overflow_width, lut, symbols_out);
+}
+
+// Batch decode of ``n_streams`` equal-length streams stored back-to-back
+// in ``data`` at ``data_offsets`` (n_streams + 1 byte offsets) — the
+// inverse of pcc_rc_encode_batch, in ONE foreign call. ``indexes`` is one
+// shared row when ``shared_indexes`` is nonzero, else per-stream rows.
+// ``symbols_out`` receives [n_streams * stream_len] int32. Returns 0, or
+// -1 on any malformed stream.
+int64_t pcc_rc_decode_lut_batch(
+    const uint8_t* data, const int64_t* data_offsets, const int32_t* indexes,
+    int32_t shared_indexes, int64_t n_streams, int64_t stream_len,
+    const int32_t* cdf, int64_t cdf_stride, const int32_t* cdf_length,
+    const int32_t* offset, int32_t precision, int32_t overflow_width,
+    const uint16_t* lut, int32_t* symbols_out) {
+  for (int64_t s = 0; s < n_streams; ++s) {
+    const int32_t* idx =
+        shared_indexes ? indexes : indexes + s * stream_len;
+    const int64_t rc = rc_decode_impl(
+        data + data_offsets[s], data_offsets[s + 1] - data_offsets[s], idx,
+        stream_len, cdf, cdf_stride, cdf_length, offset, precision,
+        overflow_width, lut, symbols_out + s * stream_len);
+    if (rc != 0) return -1;
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -65,6 +65,56 @@ def test_range_coder_roundtrip_and_parity():
         )
 
 
+def test_batch_coder_matches_per_stream():
+    """encode_batch/decode_batch are byte/bit-identical to per-block
+    encode/decode — shared AND per-stream index rows, escapes included."""
+    rng = np.random.default_rng(7)
+    table = _random_table(rng)
+    assert rc.native_available()
+    n, row = 6, (4, 5)  # leading row dim != n on purpose... and == below
+    for per_stream in (False, True):
+        for n_streams in (0, 1, 4, 6):  # 4 == row[0]: ambiguity guard
+            if per_stream:
+                indexes = rng.integers(
+                    0, table.rows, (n_streams,) + row).astype(np.int32)
+            else:
+                indexes = rng.integers(0, table.rows, row).astype(np.int32)
+            span_of = lambda idx: table.cdf_length[idx] - 2
+            symbols = np.empty((n_streams,) + row, np.int32)
+            for s in range(n_streams):
+                idx = indexes[s] if per_stream else indexes
+                symbols[s] = table.offset[idx] + rng.integers(
+                    0, np.maximum(span_of(idx), 1))
+            wild = rng.random(symbols.shape) < 0.1
+            symbols = np.where(
+                wild, rng.integers(-(2 ** 18), 2 ** 18, symbols.shape),
+                symbols).astype(np.int32)
+
+            datas = rc.encode_batch(symbols, indexes, table)
+            expect = [rc.encode(symbols[s],
+                                indexes[s] if per_stream else indexes,
+                                table) for s in range(n_streams)]
+            assert datas == expect, (per_stream, n_streams)
+            got = rc.decode_batch(datas, indexes, table,
+                                  per_stream=per_stream)
+            assert got.shape == symbols.shape
+            np.testing.assert_array_equal(got, symbols)
+
+
+def test_batch_coder_fallback_paths(monkeypatch):
+    """With the native lib unavailable the batch APIs loop the scalar
+    (pure-Python twin) paths and still round-trip."""
+    rng = np.random.default_rng(8)
+    table = _random_table(rng)
+    monkeypatch.setattr(rc, "_get_lib", lambda: None)
+    indexes = rng.integers(0, table.rows, (3, 7)).astype(np.int32)
+    symbols = (table.offset[indexes]
+               + rng.integers(0, 2, (3, 7))).astype(np.int32)
+    datas = rc.encode_batch(symbols, indexes, table)
+    np.testing.assert_array_equal(
+        rc.decode_batch(datas, indexes, table, per_stream=True), symbols)
+
+
 def test_range_coder_rate_near_entropy():
     """Coding cost ≈ entropy of the quantized Gaussian within ~1%."""
     rng = np.random.default_rng(2)

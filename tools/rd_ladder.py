@@ -212,7 +212,13 @@ def main():
                 "budget, so successive deltas compare configs. The "
                 "flagship row alone uses the full protocol (40k base, "
                 "8k ft, early-stop patience 4000); its delta is "
-                "training-contaminated and reported for context.",
+                "training-contaminated and reported for context. d2 "
+                "columns score the D1-OPTIMIZED bitstream with the d2 "
+                "metric (analytic scansim normals); the reference's "
+                "published d2 rows are separately d2-optimized encodes "
+                "(data.csv opt_group d2), so d2 ordering here is "
+                "informational — the true d2-group rows live in the "
+                "flagship artifact via rd_eval --d2_group.",
         "rows": rows,
     }
     out = Path("results/config_ladder.json")
