@@ -245,6 +245,12 @@ class BlockCodec:
         # outliers)
         self.halo_batch = 64
         self.halo_width = 12
+        # EDT band of the point-based d2 threshold sweep (d2_sweep_pts):
+        # picks are exact whenever every original point is within this
+        # many voxels of the candidate set; None = exact full-grid argmin
+        # EDT (CPU/test parity). PCC_D2_BAND overrides ('none' for exact).
+        _b = os.environ.get("PCC_D2_BAND", "12")
+        self.d2_band = None if _b.lower() == "none" else int(_b)
         self.is_v2 = isinstance(model, CompressionModelV2)
         assert self.is_v2 or isinstance(model, CompressionModelV1)
         self.devices = list(devices) if devices else None
@@ -729,11 +735,12 @@ class BlockCodec:
             # the overflow-rerun path (bucket backend only) gathers a
             # rerun_width-wide batch of canonical x_hat / occ / pts rows
             # out of the cloud concats with jnp.take, re-sweeps them on
-            # the exact XLA backend, and scatters the packed masks back
+            # the exact backend, and scatters the packed masks back
             # — all fresh executables whose first compile otherwise
             # lands in the MIDDLE of the first overflowing cloud
-            # (measured 19 s on real TPU, r3).
-            if self.sweep_backend != "bucket" or with_normals:
+            # (measured 19 s on real TPU, r3). Normals runs use the
+            # full-volume bucket_exact fallback instead.
+            if self.sweep_backend != "bucket":
                 return
             w = self.rerun_width
             gather = jnp.zeros((w,), jnp.int32)
@@ -743,10 +750,13 @@ class BlockCodec:
             x_hat_t = jnp.take(x_hat, gather, axis=0)
             jax.block_until_ready(
                 occ_dev.at[gather].set(jnp.zeros_like(occ_t)))
-            fbx = self._sweep_mask_fn(opt_metrics, max_deltas,
-                                      with_normals, backend="xla")
+            fbx = self._sweep_mask_fn(
+                opt_metrics, max_deltas, with_normals,
+                backend="bucket_exact" if with_normals else "xla")
+            nrm_t = ((jnp.take(dev_keep["nrm"], gather, axis=0),)
+                     if with_normals else ())
             jax.block_until_ready(
-                fbx(self.params, occ_t, x_hat_t, pts_t)["picks"])
+                fbx(self.params, occ_t, x_hat_t, pts_t, *nrm_t)["picks"])
 
         with ThreadPoolExecutor(6) as pool:
             if gate_bucket:
@@ -977,9 +987,8 @@ class BlockCodec:
         from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
             select_thresholds_d1_batch,
             select_thresholds_d1_pallas,
-            select_thresholds_device,
+            select_thresholds_device_pts,
         )
-        from pcc_geo_cnn_v2_tpu.ops.voxel import voxelize_attrs
 
         size = self.block_size
         thresholds = jnp.asarray(self.thresholds, jnp.float32)
@@ -995,18 +1004,41 @@ class BlockCodec:
             xh = x_hat[..., 0]
             pts = pts16.astype(jnp.int32)
             overflow = None
-            if with_normals:
-                # voxelize normals per block INSIDE the map body: a
-                # precomputed [N·B³, 3] grid carried into the loop gets
-                # a minor-dim-3 → 128 padded layout (42.7× expansion —
-                # 16 GB at batch 128, a compile-time HBM OOM on v5e)
+            if with_normals and backend in ("bucket", "bucket_exact"):
+                # d2 metrics ride the bucket sweep: the prefix-min kernel
+                # carries each original's plane distance to its NN
+                # candidate (own-normal AB; exact BA — see
+                # ops/bucket_sweep._bucket_kernel_d2). The grid-based d2
+                # sweep this replaces kernel-faulted real TPUs under
+                # lax.map (r4 bench_d2 worker crashes, bisected r5: the
+                # argmin-EDT → grid-gather/scatter combination
+                # miscompiles in nested while loops) and its TPU-safe
+                # point-based rewrite (select_thresholds_device_pts)
+                # still measured 6.1 s/block — the per-threshold EDT
+                # volume work is the wrong shape; the bucket prefix
+                # structure is ~3 orders cheaper.
+                picks, overflow = select_thresholds_d1_bucket(
+                    xh, pts, thresholds, opt_metrics=opt_metrics,
+                    max_deltas=max_deltas,
+                    # 'bucket_exact' = same kernel at K = full volume:
+                    # overflow impossible, so it serves as the normals
+                    # rerun fallback without entering a new program class
+                    K=size ** 3 if backend == "bucket_exact" else bucket_k,
+                    interpret=interpret, nrm=nrm,
+                )
+                if backend == "bucket_exact":
+                    overflow = None
+            elif with_normals:
+                # exact-semantics fallback (overflow reruns, CPU): the
+                # point-based per-block sweep — normals ride the EDT
+                # carries, votes run over the ≤P point lists
+                # (ops/threshold_sweep.d2_sweep_pts)
                 def per_block_d2(args):
                     occ_b, xh_b, pts_b, nrm_b = args
-                    ngrid_b = voxelize_attrs(
-                        pts_b[None], nrm_b[None], size)[0]
-                    return select_thresholds_device(
-                        occ_b, xh_b, thresholds, normals=ngrid_b,
+                    return select_thresholds_device_pts(
+                        occ_b, xh_b, thresholds, pts_b, nrm_b,
                         opt_metrics=opt_metrics, max_deltas=max_deltas,
+                        band=self.d2_band,
                     )
 
                 picks = jax.lax.map(per_block_d2, (occ, xh, pts, nrm))
@@ -1160,11 +1192,10 @@ class BlockCodec:
         yidx_futs, sweep_futs = [], []
         mask_chunks = [[] for _ in range(n_metrics)]
         # canonical x_hat per chunk, kept ONLY when the bucket sweep can
-        # overflow and trigger a rerun (the normals path runs the exact
-        # per-block map and never overflows); retaining it otherwise
-        # pins ~1 MB/block f32 in HBM for the whole dec+sweep phase —
-        # 2 GB/cloud at batch 128, right at the d2 config's HBM edge
-        keep_xhat = self.sweep_backend == "bucket" and not with_normals
+        # overflow and trigger a rerun (since r5 that includes normals
+        # runs — d2 rides the bucket kernel); retaining it otherwise
+        # pins ~1 MB/block f32 in HBM for the whole dec+sweep phase
+        keep_xhat = self.sweep_backend == "bucket"
         xhat_dev = []
         for k in range(nck):
             _, params_k = self._chunk_dev(k)
@@ -1346,10 +1377,14 @@ class BlockCodec:
         per overflow count (warmed by ``warmup_cloud_shapes``).
         """
         logger.info("bucket sweep overflow: re-sweeping %d block(s) on "
-                    "the exact XLA backend (width %d)", len(idx),
+                    "the exact backend (width %d)", len(idx),
                     self.rerun_width)
-        fb = self._sweep_mask_fn(opt_metrics, max_deltas, with_normals,
-                                 backend="xla")
+        # normals rerun: full-volume bucket (K = B³, overflow-free, same
+        # kernel family) — the per-block EDT path is TPU-hostile (see
+        # _sweep_mask_fn)
+        fb = self._sweep_mask_fn(
+            opt_metrics, max_deltas, with_normals,
+            backend="bucket_exact" if with_normals else "xla")
         bs = self.rerun_width
         idx = np.asarray(idx)
         params0 = (self._params_per_dev[0] if self.devices

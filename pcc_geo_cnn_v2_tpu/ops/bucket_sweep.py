@@ -118,9 +118,110 @@ def _bucket_kernel(kt_ref, pt_ref, pts_ref, cand_ref, colsum_ref,
             colsum_ref[0] = colsum_ref[0] + contrib
 
 
+def _bucket_kernel_d2(kt_ref, pt_ref, pts_ref, cand_ref, nrm_ref,
+                      colsum_ref, candmin_ref, colplane_ref, candplane_ref,
+                      carry, carryp, *, pc, kc):
+    """D1+D2 variant of :func:`_bucket_kernel`.
+
+    Alongside the d1 prefix-min column sums it tracks per tile:
+
+    - ``candplane[k]`` — the squared point-to-PLANE distance from
+      candidate k to its nearest original, using that original's normal
+      (the exact BA-direction d2 semantics of ``pc_metric.d2``: the NN
+      original of a candidate is threshold-independent, so the
+      per-threshold BA sums are prefix-sums of this column, just like
+      d1's ``candmin``).
+    - ``colplane[k]`` — Σ_p plane²(p → its prefix-NN candidate) with the
+      ORIGINAL's own normal ``n_p``. The reference transfers vote-mean
+      normals onto candidates first (``assign_attr``); p is by
+      construction always a voter of its own NN candidate, so ``n_p``
+      approximates the vote mean to within the local normal variation —
+      the deviation class the reference already tolerates for D2
+      (``pc_metric.py:114``). Selection-parity is regression-tested
+      against the exact host oracle (tests/test_bucket_sweep.py).
+    """
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+
+    @pl.when((j < kt_ref[n]) & (i < pt_ref[n]))
+    def _():
+        p = pts_ref[0]  # [pc, 3] f32 (pad rows have x < 0)
+        c = cand_ref[0]  # [3, kc] f32 (pad slots = SENTINEL)
+        nr = nrm_ref[0]  # [pc, 3] f32 per-point normals
+        valid = p[:, 0:1] >= 0.0  # [pc, 1]
+        d2 = jnp.zeros((pc, kc), jnp.float32)
+        dot = jnp.zeros((pc, kc), jnp.float32)
+        for d in range(3):
+            diff = p[:, d:d + 1] - c[d:d + 1, :]
+            d2 = d2 + diff * diff
+            dot = dot + diff * nr[:, d:d + 1]
+        plane = dot * dot
+
+        cm = jnp.min(jnp.where(valid, d2, BIG), axis=0, keepdims=True)
+        # plane value of the row achieving cm (first tie in min order)
+        cp = jnp.min(
+            jnp.where(valid & (d2 == cm), plane, BIG), axis=0,
+            keepdims=True)
+
+        @pl.when(i == 0)
+        def _():
+            candmin_ref[0] = cm
+            candplane_ref[0] = cp
+
+        @pl.when(i > 0)
+        def _():
+            # distance ties across point tiles keep the min plane value
+            # (same rule as the within-tile `cp` reduction)
+            candplane_ref[0] = jnp.where(
+                cm < candmin_ref[0], cp,
+                jnp.where(cm == candmin_ref[0],
+                          jnp.minimum(cp, candplane_ref[0]),
+                          candplane_ref[0]))
+            candmin_ref[0] = jnp.minimum(candmin_ref[0], cm)
+
+        # inclusive prefix-min along the sorted-candidate (lane) axis,
+        # carrying the plane value of the argmin candidate (ties → the
+        # EARLIER candidate wins, `<=`, matching the cross-tile chain
+        # below and the first-minimum oracle in tests)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+        pm, pp = d2, plane
+        s = 1
+        while s < kc:
+            rolled = pltpu.roll(pm, s, 1)  # [k] = pm[k - s]
+            rolledp = pltpu.roll(pp, s, 1)
+            take = (lane >= s) & (rolled <= pm)
+            pm = jnp.where(take, rolled, pm)
+            pp = jnp.where(take, rolledp, pp)
+            s *= 2
+        # chain through previous candidate tiles (earlier candidates win
+        # ties — first-minimum convention)
+        prev = jnp.where(j > 0, carry[pl.ds(i * pc, pc), :], BIG)
+        prevp = jnp.where(j > 0, carryp[pl.ds(i * pc, pc), :], BIG)
+        take = prev <= pm
+        pm = jnp.where(take, prev, pm)
+        pp = jnp.where(take, prevp, pp)
+        carry[pl.ds(i * pc, pc), :] = pm[:, kc - 1:kc]
+        carryp[pl.ds(i * pc, pc), :] = pp[:, kc - 1:kc]
+
+        contrib = jnp.sum(jnp.where(valid, pm, 0.0), axis=0, keepdims=True)
+        contribp = jnp.sum(jnp.where(valid, pp, 0.0), axis=0,
+                           keepdims=True)
+
+        @pl.when(i == 0)
+        def _():
+            colsum_ref[0] = contrib
+            colplane_ref[0] = contribp
+
+        @pl.when(i > 0)
+        def _():
+            colsum_ref[0] = colsum_ref[0] + contrib
+            colplane_ref[0] = colplane_ref[0] + contribp
+
+
 @functools.partial(jax.jit, static_argnames=("kc", "pc", "interpret"))
 def _bucket_colsums_pallas(pts_f, cand, kt, pt, kc=1024, pc=512,
-                           interpret=False):
+                           interpret=False, nrm=None):
     """colsum[n, k] = Σ_p prefix-min_{j ≤ k} d²(p, cand_j) and
     candmin[n, k] = min_p d²(p, cand_k), tiles resident in VMEM.
 
@@ -128,6 +229,9 @@ def _bucket_colsums_pallas(pts_f, cand, kt, pt, kc=1024, pc=512,
     :param cand: [N, 3, K] f32 sorted candidate coords (pads = SENTINEL).
     :param kt: [N] int32 — #active candidate tiles per block.
     :param pt: [N] int32 — #active point tiles per block.
+    :param nrm: optional [N, P, 3] f32 per-point normals; when given the
+        d2 kernel variant additionally returns (colplane, candplane),
+        see :func:`_bucket_kernel_d2`.
     """
     n, p_dim, _ = pts_f.shape
     k_dim = cand.shape[-1]
@@ -135,7 +239,7 @@ def _bucket_colsums_pallas(pts_f, cand, kt, pt, kc=1024, pc=512,
     kc = min(kc, k_dim)
     assert p_dim % pc == 0 and k_dim % kc == 0, (p_dim, pc, k_dim, kc)
     grid = (n, k_dim // kc, p_dim // pc)
-    kernel = functools.partial(_bucket_kernel, pc=pc, kc=kc)
+    with_normals = nrm is not None
     # outputs are [N, 1, K] with (1, 1, kc) blocks: Mosaic requires the
     # block's last two dims to be (divisible by 8, divisible by 128) OR
     # equal to the array's dims — the singleton middle axis satisfies the
@@ -144,34 +248,37 @@ def _bucket_colsums_pallas(pts_f, cand, kt, pt, kc=1024, pc=512,
     out_spec = pl.BlockSpec((1, 1, kc), lambda b, j, i, *_: (b, 0, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n, 1, k_dim), jnp.float32)
-    colsum, candmin = pl.pallas_call(
-        kernel,
+    pts_spec = pl.BlockSpec((1, pc, 3), lambda b, j, i, *_: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    cand_spec = pl.BlockSpec((1, 3, kc), lambda b, j, i, *_: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    n_out = 4 if with_normals else 2
+    kern = _bucket_kernel_d2 if with_normals else _bucket_kernel
+    outs = pl.pallas_call(
+        functools.partial(kern, pc=pc, kc=kc),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, pc, 3), lambda b, j, i, *_: (b, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, kc), lambda b, j, i, *_: (b, 0, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(out_spec, out_spec),
-            scratch_shapes=[pltpu.VMEM((p_dim, 1), jnp.float32)],
+            in_specs=[pts_spec, cand_spec] + (
+                [pts_spec] if with_normals else []),
+            out_specs=(out_spec,) * n_out,
+            scratch_shapes=[pltpu.VMEM((p_dim, 1), jnp.float32)] * (
+                2 if with_normals else 1),
         ),
-        out_shape=(shape, shape),
+        out_shape=(shape,) * n_out,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(kt, pt, pts_f, cand)
-    return colsum[:, 0, :], candmin[:, 0, :]
+    )(*((kt, pt, pts_f, cand) + ((nrm,) if with_normals else ())))
+    return tuple(o[:, 0, :] for o in outs)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "kc", "pc", "interpret"))
 def bucket_sweep_sums(x_hat, pts, thresholds, K=20480, kc=1024, pc=512,
-                      interpret=False):
-    """Per-threshold D1 sums for a block batch, bucket-ordered.
+                      interpret=False, nrm=None):
+    """Per-threshold D1 (and optionally D2) sums, bucket-ordered.
 
     :param x_hat: [N, B, B, B] decoded probabilities.
     :param pts: [N, P, 3] int occupied-voxel lists (-1 rows = padding;
@@ -181,7 +288,10 @@ def bucket_sweep_sums(x_hat, pts, thresholds, K=20480, kc=1024, pc=512,
     :param K: candidate budget. Blocks with more than K voxels above
         ``thresholds[0]`` are flagged in ``overflow`` and their sums are
         garbage — the caller must re-run them on an exact backend.
-    :return: (ab_sum [N,T], ba_sum [N,T], count [N,T] f32, overflow [N]).
+    :param nrm: optional [N, P, 3] per-point normals; adds d2 sums
+        (``_bucket_kernel_d2`` semantics).
+    :return: (ab_sum [N,T], ba_sum [N,T], count [N,T] f32, overflow [N])
+        and, with ``nrm``, two extra [N,T] arrays (ab2_sum, ba2_sum).
     """
     n, size = x_hat.shape[0], x_hat.shape[-1]
     flat = x_hat.reshape(n, -1).astype(jnp.float32)
@@ -205,9 +315,11 @@ def bucket_sweep_sums(x_hat, pts, thresholds, K=20480, kc=1024, pc=512,
     n_pts = jnp.sum(pts_f[:, :, 0] >= 0, axis=-1).astype(jnp.int32)
     kt = jnp.clip((cnt0 + kc_eff - 1) // kc_eff, 0, K // kc_eff)
     pt = jnp.clip((n_pts + pc_eff - 1) // pc_eff, 1, p_dim // pc_eff)
-    colsum, candmin = _bucket_colsums_pallas(
-        pts_f, cand, kt, pt, kc=kc, pc=pc, interpret=interpret
+    outs = _bucket_colsums_pallas(
+        pts_f, cand, kt, pt, kc=kc, pc=pc, interpret=interpret,
+        nrm=None if nrm is None else nrm.astype(jnp.float32),
     )
+    colsum, candmin = outs[0], outs[1]
 
     # count(t) = #vals > t via binary search on the descending values
     # (negate → ascending; side='left' counts strictly-less entries, so
@@ -220,7 +332,16 @@ def bucket_sweep_sums(x_hat, pts, thresholds, K=20480, kc=1024, pc=512,
     idx = jnp.clip(cnt - 1, 0, K - 1)
     ab = jnp.where(cnt > 0, jnp.take_along_axis(colsum, idx, axis=1), INF)
     ba = jnp.where(cnt > 0, jnp.take_along_axis(bacum, idx, axis=1), 0.0)
-    return ab, ba, cnt.astype(jnp.float32), overflow
+    res = (ab, ba, cnt.astype(jnp.float32), overflow)
+    if nrm is not None:
+        colplane, candplane = outs[2], outs[3]
+        ba2cum = jnp.cumsum(jnp.where(valid_k, candplane, 0.0), axis=-1)
+        ab2 = jnp.where(
+            cnt > 0, jnp.take_along_axis(colplane, idx, axis=1), INF)
+        ba2 = jnp.where(
+            cnt > 0, jnp.take_along_axis(ba2cum, idx, axis=1), 0.0)
+        res = res + (ab2, ba2)
+    return res
 
 
 def _centroid_guard_metric_pts(pts_f, n_orig, metric):
@@ -242,42 +363,83 @@ def _centroid_guard_metric_pts(pts_f, n_orig, metric):
     return m[metric]
 
 
+def _centroid_guard_metric_d2_bucket(pts_f, nrm, n_orig, metric):
+    """D2 metric of the single centroid point from the point lists
+    (twin of ``threshold_sweep._centroid_guard_metric_d2``: all
+    originals vote for the centroid, so its transferred normal is the
+    mean original normal; BA uses the NN original's own normal)."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import _metrics_from_sums
+
+    valid = pts_f[:, 0] >= 0.0
+    w = valid.astype(jnp.float32)[:, None]
+    n = jnp.maximum(n_orig, 1)
+    c = jnp.round(jnp.sum(pts_f * w, axis=0) / n)
+    n_bar = jnp.sum(nrm * w, axis=0) / n
+    ab_sum = jnp.sum(
+        w[:, 0] * jnp.sum((pts_f - c) * n_bar, axis=-1) ** 2)
+    d2 = jnp.sum((pts_f - c) ** 2, axis=-1)
+    m = jnp.min(jnp.where(valid, d2, BIG))
+    plane = jnp.sum((c - pts_f) * nrm, axis=-1) ** 2
+    ba_sum = jnp.min(jnp.where(valid & (d2 == m), plane, BIG))
+    mt = _metrics_from_sums(ab_sum, ba_sum, n, jnp.asarray(1), prefix="d2")
+    return mt[metric]
+
+
 def select_thresholds_d1_bucket(x_hat, pts, thresholds,
                                 opt_metrics=("d1_mse",),
                                 max_deltas=(np.inf,), K=20480,
-                                interpret=False):
+                                interpret=False, nrm=None):
     """Best threshold per (max_delta × opt_metric) via the bucket sweep.
 
     Identical picks to ``select_thresholds_d1_pallas`` /
     ``select_thresholds_d1_batch`` wherever ``overflow`` is False; callers
-    must re-run flagged blocks on an exact backend.
+    must re-run flagged blocks on an exact backend. With ``nrm`` the d2_*
+    opt metrics are supported too (AB direction uses each original's own
+    normal in place of the vote-mean transfer — see
+    :func:`_bucket_kernel_d2`).
 
     :return: (picks [N, M] int32, overflow [N] bool).
     """
     from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
         D1_METRICS,
+        D2_METRICS,
         _metrics_from_sums,
         _select_from_sweep,
     )
 
+    need_d2 = [m for m in opt_metrics if m.startswith("d2")]
     for m in opt_metrics:
-        assert m in D1_METRICS, f"{m} not supported on device"
-    ab, ba, cnt, overflow = bucket_sweep_sums(
-        x_hat, pts, thresholds, K=K, interpret=interpret
+        assert m in D1_METRICS + D2_METRICS, f"{m} not supported on device"
+    if need_d2:
+        assert nrm is not None, "d2 metrics need per-point normals"
+    res = bucket_sweep_sums(
+        x_hat, pts, thresholds, K=K, interpret=interpret,
+        nrm=nrm if need_d2 else None,
     )
+    ab, ba, cnt, overflow = res[:4]
     pts_f = pts.astype(jnp.float32)
     n_orig = jnp.sum(pts_f[:, :, 0] >= 0.0, axis=-1).astype(jnp.float32)
+    ab2, ba2 = (res[4], res[5]) if need_d2 else (ab, ba)
+    nrm_f = (nrm.astype(jnp.float32) if nrm is not None
+             else jnp.zeros_like(pts_f))
 
-    def per_block(ab_b, ba_b, cnt_b, n_b, pts_b):
+    def per_block(ab_b, ba_b, ab2_b, ba2_b, cnt_b, n_b, pts_b, nrm_b):
         sweep = _metrics_from_sums(ab_b, ba_b, jnp.maximum(n_b, 1), cnt_b)
+        if need_d2:
+            sweep.update(_metrics_from_sums(
+                ab2_b, ba2_b, jnp.maximum(n_b, 1), cnt_b, prefix="d2"))
         sweep["count"] = cnt_b
 
         def guard_fn(metric):
+            if metric.startswith("d2"):
+                return _centroid_guard_metric_d2_bucket(
+                    pts_b, nrm_b, n_b, metric)
             return _centroid_guard_metric_pts(pts_b, n_b, metric)
 
         return _select_from_sweep(sweep, None, None, thresholds,
                                   opt_metrics, max_deltas,
                                   guard_fn=guard_fn, n_orig=n_b)
 
-    picks = jax.vmap(per_block)(ab, ba, cnt, n_orig, pts_f)
+    picks = jax.vmap(per_block)(ab, ba, ab2, ba2, cnt, n_orig, pts_f,
+                                nrm_f)
     return picks, overflow

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["INF", "squared_edt", "banded_squared_edt", "minplus_1d",
-           "squared_edt_argmin", "banded_squared_edt_argmin"]
+           "squared_edt_argmin", "banded_squared_edt_argmin",
+           "squared_edt_carry"]
 
 INF = 1e12
 
@@ -152,6 +153,30 @@ def _minplus_1d_arg(g, carry, axis):
         )[..., 0]
         outs.append(jnp.moveaxis(picked, -1, axis))
     return jnp.moveaxis(out_g, -1, axis), outs
+
+
+def squared_edt_carry(occ, carries):
+    """Squared EDT carrying arbitrary per-source values to each voxel.
+
+    Generalizes :func:`squared_edt_argmin`: every voxel receives, for each
+    array in ``carries``, the value at its nearest occupied voxel (same
+    first-minimum tie rule). Lets callers transport source attributes
+    (e.g. normals, flat indices) through the min-plus passes instead of
+    gathering a grid at data-dependent NN indices afterwards — the
+    EDT→grid-gather combination kernel-faults real TPUs under nested
+    ``lax.map`` (see ROUND5_NOTES d2 bisection).
+
+    :param occ: [..., X, Y, Z] occupancy.
+    :param carries: list of float32 arrays shaped like ``occ``.
+    :return: (dist [..., X, Y, Z] f32, list of carried arrays).
+    """
+    occ_b = jnp.asarray(occ, bool)
+    g = jnp.where(occ_b, 0.0, INF).astype(jnp.float32)
+    carry = [jnp.broadcast_to(c.astype(jnp.float32), occ_b.shape)
+             for c in carries]
+    for ax in (-3, -2, -1):
+        g, carry = _minplus_1d_arg(g, carry, ax)
+    return g, carry
 
 
 def squared_edt_argmin(occ):

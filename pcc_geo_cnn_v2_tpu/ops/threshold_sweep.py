@@ -27,8 +27,8 @@ import numpy as np
 
 from pcc_geo_cnn_v2_tpu.ops.edt import INF, squared_edt
 
-__all__ = ["d1_sweep", "d2_sweep", "select_thresholds_d1", "D1_METRICS",
-           "D2_METRICS"]
+__all__ = ["d1_sweep", "d2_sweep", "d2_sweep_pts", "select_thresholds_d1",
+           "select_thresholds_device_pts", "D1_METRICS", "D2_METRICS"]
 
 D1_METRICS = ("d1_sum_AB", "d1_sum_BA", "d1_sum_max", "d1_sum_mean",
               "d1_mse_AB", "d1_mse_BA", "d1_mse")
@@ -154,6 +154,155 @@ def d2_sweep(occ, normals, x_hat, thresholds, chunk=4):
     out = _metrics_from_sums(ab, ba, n_orig, counts, prefix="d2")
     out["count"] = counts
     return out
+
+
+def _d2_pts_fields(occ_b, ngrid):
+    """Per-block original-side D2 fields from ONE carry-EDT.
+
+    Returns (dt_orig, ba_field, of, n_o): the plain squared EDT of the
+    original occupancy, the per-voxel candidate→original plane-distance
+    field, the carried flat index of each voxel's nearest original, and
+    that original's normal. Normals and indices travel THROUGH the
+    min-plus passes (``squared_edt_carry``) instead of being gathered
+    from a grid at the data-dependent NN indices afterwards — the
+    EDT→grid-gather combination kernel-faults real TPUs under nested
+    ``lax.map`` (r4 `sweep_bucket` worker crash, bisected in r5; see
+    ROUND5_NOTES)."""
+    from pcc_geo_cnn_v2_tpu.ops.edt import squared_edt_carry
+
+    B = occ_b.shape[-1]
+    shape = occ_b.shape[-3:]
+    flat_iota = (
+        jax.lax.broadcasted_iota(jnp.float32, shape, 0) * (B * B)
+        + jax.lax.broadcasted_iota(jnp.float32, shape, 1) * B
+        + jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    )
+    dt_orig, (of, onx, ony, onz) = squared_edt_carry(
+        occ_b, [flat_iota, ngrid[..., 0], ngrid[..., 1], ngrid[..., 2]]
+    )
+    n_o = jnp.stack([onx, ony, onz], axis=-1)
+    ofi = of.astype(jnp.int32)
+    nn_o = jnp.stack(
+        [ofi // (B * B), (ofi // B) % B, ofi % B], axis=-1
+    ).astype(jnp.float32)
+    coords = jnp.stack(
+        [jax.lax.broadcasted_iota(jnp.float32, shape, k) for k in range(3)],
+        axis=-1)
+    ba_field = jnp.sum((coords - nn_o) * n_o, axis=-1) ** 2
+    return dt_orig, ba_field, of, n_o
+
+
+def d2_sweep_pts(occ, pts, nrm, x_hat, thresholds, ngrid=None, band=None,
+                 chunk=4, _fields=None):
+    """Point-based per-threshold D2 metrics for one block.
+
+    Selection-equivalent to :func:`d2_sweep` but restructured for real
+    TPUs: the normal-vote transfer (``pc_metric.assign_attr`` semantics,
+    ``/root/reference/src/utils/pc_metric.py:8-25,109-124``) runs over
+    the ≤P original-point lists instead of the B³ grid, and original-side
+    normals ride the EDT carries (see :func:`_d2_pts_fields`). Dropping
+    the reference's orphan fallback is metric-invisible: AB only ever
+    queries the normal of a candidate that is some original's NN, and
+    every such candidate receives ≥1 vote by construction.
+
+    :param pts: [P, 3] int32 occupied coordinates, rows of -1 padding.
+    :param nrm: [P, 3] float32 per-point normals (padding rows ignored).
+    :param ngrid: optional [B,B,B,3] voxelized normals (built from
+        pts/nrm when absent).
+    :param band: None = exact full-grid argmin EDT per threshold
+        (pick-identical to :func:`d2_sweep`); an int k = banded EDT,
+        exact whenever every original is within k voxels of the
+        candidate set (the overwhelming case for trained models);
+        unresolved points fall back to their banded point-distance upper
+        bound, which can only deflate thresholds that were far from
+        optimal anyway.
+    :return: dict of [T] d2_* metric arrays + 'count'.
+    """
+    from pcc_geo_cnn_v2_tpu.ops.edt import (
+        banded_squared_edt_argmin,
+        squared_edt_argmin,
+    )
+    from pcc_geo_cnn_v2_tpu.ops.voxel import voxelize_attrs
+
+    B = occ.shape[-1]
+    occ_b = jnp.asarray(occ, bool)
+    valid = pts[:, 0] >= 0
+    vf = valid.astype(jnp.float32)
+    n_orig = jnp.sum(vf)
+    pts_c = jnp.where(valid[:, None], pts, 0).astype(jnp.int32)
+    flat_p = (pts_c[:, 0] * B + pts_c[:, 1]) * B + pts_c[:, 2]
+    pts_f = pts_c.astype(jnp.float32)
+    if ngrid is None:
+        ngrid = voxelize_attrs(pts[None].astype(jnp.int32),
+                               nrm[None], B)[0]
+    if _fields is None:
+        _fields = _d2_pts_fields(occ_b, ngrid)
+    _, ba_field, _, _ = _fields
+
+    def per_chunk(ts):
+        masks = x_hat[None] > ts[:, None, None, None]  # [K,B,B,B]
+        counts = jnp.sum(masks, axis=(1, 2, 3))
+        ba = jnp.sum(jnp.where(masks, ba_field[None], 0.0), axis=(1, 2, 3))
+        if band is None:
+            _, nn = squared_edt_argmin(masks)  # [K,B,B,B,3]
+            nnf = ((nn[..., 0] * B + nn[..., 1]) * B + nn[..., 2])
+            d_p = None
+        else:
+            dist, nnf = banded_squared_edt_argmin(masks, band)
+            d_p = jnp.take(dist.reshape(len(ts), -1), flat_p, axis=1)
+        c_p = jnp.take(nnf.reshape(len(ts), -1), flat_p, axis=1)  # [K,P]
+
+        def one(c_row):
+            # vote-mean normal transfer over the point list: original p
+            # votes its normal onto its NN candidate; AB then reads the
+            # mean at that same candidate (cnt ≥ 1 wherever read)
+            cnt = jnp.zeros(B ** 3).at[c_row].add(vf)
+            ns = jnp.zeros((B ** 3, 3)).at[c_row].add(vf[:, None] * nrm)
+            return (jnp.take(cnt, c_row),
+                    jnp.take(ns, c_row, axis=0))
+
+        cnt_at, ns_at = jax.vmap(one)(c_p)  # [K,P], [K,P,3]
+        n_eff = ns_at / jnp.maximum(cnt_at, 1.0)[..., None]
+        cc = jnp.stack(
+            [c_p // (B * B), (c_p // B) % B, c_p % B], axis=-1
+        ).astype(jnp.float32)  # [K,P,3] candidate NN coords
+        ab_p = jnp.sum((pts_f[None] - cc) * n_eff, axis=-1) ** 2
+        if band is not None:
+            # beyond the band the NN identity is unresolved: charge the
+            # banded point-distance upper bound instead (≥ band², so it
+            # can only hurt thresholds that were already far off)
+            ab_p = jnp.where(d_p <= float(band * band), ab_p, d_p)
+        ab = jnp.sum(ab_p * vf[None], axis=1)
+        return ab, ba, counts
+
+    T = thresholds.shape[0]
+    assert T % chunk == 0
+    ab, ba, counts = jax.lax.map(
+        per_chunk, thresholds.reshape(T // chunk, chunk)
+    )
+    ab, ba, counts = ab.ravel(), ba.ravel(), counts.ravel()
+    out = _metrics_from_sums(ab, ba, n_orig, counts, prefix="d2")
+    out["count"] = counts
+    return out
+
+
+def _centroid_guard_metric_d2_pts(pts_f, vf, nrm, n_orig, of, n_o, metric):
+    """Point-based twin of :func:`_centroid_guard_metric_d2` (same
+    values: occupied voxels ≡ valid points)."""
+    B = of.shape[-1]
+    c = jnp.round(jnp.sum(pts_f * vf[:, None], axis=0) / n_orig)
+    n_bar = jnp.sum(nrm * vf[:, None], axis=0) / n_orig
+    ab_sum = jnp.sum(vf * jnp.sum((pts_f - c) * n_bar, axis=-1) ** 2)
+    ci = jnp.clip(c.astype(jnp.int32), 0, B - 1)
+    cflat = (ci[0] * B + ci[1]) * B + ci[2]
+    ofi = of.reshape(-1)[cflat].astype(jnp.int32)
+    nn_at_c = jnp.stack(
+        [ofi // (B * B), (ofi // B) % B, ofi % B]).astype(jnp.float32)
+    n_at_c = n_o.reshape(-1, 3)[cflat]
+    ba_sum = jnp.sum((c - nn_at_c) * n_at_c) ** 2
+    m = _metrics_from_sums(ab_sum, ba_sum, n_orig, jnp.asarray(1),
+                           prefix="d2")
+    return m[metric]
 
 
 def _centroid_guard_metric_d2(occ, normals, dt_args, metric):
@@ -294,6 +443,48 @@ def select_thresholds_device(occ, x_hat, thresholds, normals=None,
         if metric.startswith("d2"):
             return _centroid_guard_metric_d2(occ, normals, guard_args_d2,
                                              metric)
+        return _centroid_guard_metric(occ, dt_orig, metric)
+
+    return _select_from_sweep(sweep, occ, dt_orig, thresholds, opt_metrics,
+                              max_deltas, guard_fn=guard_fn)
+
+
+def select_thresholds_device_pts(occ, x_hat, thresholds, pts, nrm,
+                                 opt_metrics=("d1_mse",),
+                                 max_deltas=(np.inf,), band=None,
+                                 chunk_d1=16, chunk_d2=4):
+    """Best threshold per (max_delta × opt_metric), d1 and/or d2, from
+    the per-point normal lists the encoder already holds.
+
+    TPU-safe replacement for :func:`select_thresholds_device` with
+    normals (see :func:`d2_sweep_pts`); with ``band=None`` the picks are
+    identical up to float-summation order in the normal votes. One
+    block, jittable.
+    """
+    need_d2 = [m for m in opt_metrics if m.startswith("d2")]
+    for m in opt_metrics:
+        assert m in D1_METRICS + D2_METRICS, m
+    from pcc_geo_cnn_v2_tpu.ops.voxel import voxelize_attrs
+
+    occ_b = jnp.asarray(occ, bool)
+    B = occ.shape[-1]
+    sweep = d1_sweep(occ, x_hat, thresholds, chunk=chunk_d1)
+    valid = pts[:, 0] >= 0
+    vf = valid.astype(jnp.float32)
+    n_orig = jnp.sum(vf)
+    pts_f = jnp.where(valid[:, None], pts, 0).astype(jnp.float32)
+    ngrid = voxelize_attrs(pts[None].astype(jnp.int32), nrm[None], B)[0]
+    fields = _d2_pts_fields(occ_b, ngrid)
+    dt_orig, _, of, n_o = fields
+    if need_d2:
+        sweep.update(d2_sweep_pts(occ, pts, nrm, x_hat, thresholds,
+                                  ngrid=ngrid, band=band, chunk=chunk_d2,
+                                  _fields=fields))
+
+    def guard_fn(metric):
+        if metric.startswith("d2"):
+            return _centroid_guard_metric_d2_pts(pts_f, vf, nrm, n_orig,
+                                                 of, n_o, metric)
         return _centroid_guard_metric(occ, dt_orig, metric)
 
     return _select_from_sweep(sweep, occ, dt_orig, thresholds, opt_metrics,

@@ -167,3 +167,101 @@ def test_bucket_tie_values_match_strict_comparison():
     )
     assert not np.asarray(overflow).any()
     np.testing.assert_array_equal(np.asarray(picks)[0], single)
+
+
+def _case_with_normals(seed):
+    pts, occ, x_hat = _case(seed)
+    rng = np.random.default_rng(seed + 100)
+    n = rng.normal(size=(len(pts), 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    return pts, n, occ, x_hat
+
+
+def _d2_bucket_oracle(x_hat, pts, nrm, thresholds, K):
+    """Numpy twin of the d2 bucket kernel's documented semantics:
+    AB carries each original's OWN normal through the prefix argmin
+    (earlier candidate wins ties); BA uses the min plane value among
+    distance-tied NN originals."""
+    B = x_hat.shape[-1]
+    flat = x_hat.reshape(-1)
+    order = np.argsort(-flat, kind="stable")[:K]
+    cand = np.stack([order // (B * B), (order // B) % B, order % B],
+                    axis=-1).astype(np.float64)
+    vals = flat[order]
+    d2 = ((pts[:, None, :] - cand[None, :, :]) ** 2).sum(-1)  # [P,K]
+    dot = ((pts[:, None, :] - cand[None, :, :])
+           * nrm[:, None, :]).sum(-1) ** 2
+    # prefix argmin per point (first minimum)
+    pm = np.minimum.accumulate(d2, axis=1)
+    first_arg = np.argmax(d2 == pm, axis=1)  # broadcasting trick below
+    ab2 = np.empty(K)
+    for k in range(K):
+        j = np.argmin(d2[:, : k + 1], axis=1)  # first min
+        ab2[k] = dot[np.arange(len(pts)), j].sum()
+    cm = d2.min(axis=0)
+    ba2_col = np.array([
+        dot[d2[:, k] == cm[k], k].min() for k in range(K)
+    ])
+    ba2 = np.cumsum(ba2_col)
+    cnt = np.array([(flat > t).sum() for t in thresholds])
+    cnt = np.minimum(cnt, K)
+    ab = np.where(cnt > 0, ab2[np.maximum(cnt, 1) - 1], np.inf)
+    ba = np.where(cnt > 0, ba2[np.maximum(cnt, 1) - 1], 0.0)
+    return ab, ba, cnt
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bucket_d2_sums_match_oracle(seed):
+    """ab2/ba2 of the d2 bucket kernel vs an independent numpy oracle
+    of the same conventions (single point tile: pc ≥ P)."""
+    pts, n, occ, x_hat = _case_with_normals(seed)
+    T_loc = 16
+    thresholds = np.linspace(0.05, 0.95, T_loc)
+    K = 4096
+    pad = np.full((512, 3), -1, np.int32)
+    pad[: len(pts)] = pts.astype(np.int32)
+    npad = np.zeros((512, 3), np.float32)
+    npad[: len(pts)] = n
+    res = jax.tree_util.tree_map(
+        np.asarray,
+        bucket_sweep_sums(
+            jnp.asarray(x_hat[None]), jnp.asarray(pad[None]),
+            jnp.asarray(thresholds, jnp.float32),
+            K=K, kc=256, pc=512, interpret=True,
+            nrm=jnp.asarray(npad[None]),
+        ),
+    )
+    ab, ba, cnt, overflow, ab2, ba2 = res
+    assert not overflow.any()
+    oab, oba, ocnt = _d2_bucket_oracle(
+        x_hat.astype(np.float64), pts, n, thresholds, K)
+    np.testing.assert_array_equal(cnt[0], ocnt)
+    nz = ocnt > 0
+    np.testing.assert_allclose(ab2[0][nz], oab[nz], rtol=1e-4)
+    np.testing.assert_allclose(ba2[0][nz], oba[nz], rtol=1e-4)
+
+
+def test_bucket_d2_selection_parity_with_host():
+    """d1+d2 selection through the d2 bucket kernel on the standard case
+    class: d1 picks exact; d2 picks match the host oracle here (the
+    own-normal AB approximation only deviates under heavy noise — its
+    tolerance class is characterized in test_threshold_sweep)."""
+    from pcc_geo_cnn_v2_tpu.utils.threshold import compute_optimal_thresholds
+
+    thresholds = np.linspace(0, 1.0, T)
+    for seed in range(4):
+        pts, n, occ, x_hat = _case_with_normals(seed + 40)
+        pad = np.full((512, 3), -1, np.int32)
+        pad[: len(pts)] = pts.astype(np.int32)
+        npad = np.zeros((512, 3), np.float32)
+        npad[: len(pts)] = n
+        picks, overflow = select_thresholds_d1_bucket(
+            jnp.asarray(x_hat[None]), jnp.asarray(pad[None]),
+            jnp.asarray(thresholds, jnp.float32),
+            opt_metrics=("d1_mse", "d2_mse"), max_deltas=(np.inf,),
+            K=B ** 3, interpret=True, nrm=jnp.asarray(npad[None]))
+        assert not np.asarray(overflow).any()
+        _, host = compute_optimal_thresholds(
+            pts, x_hat, thresholds, B, normals=n,
+            opt_metrics=("d1_mse", "d2_mse"), max_deltas=(np.inf,))
+        assert np.asarray(picks)[0].tolist() == host, (seed, picks, host)

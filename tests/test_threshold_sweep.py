@@ -295,3 +295,72 @@ def test_mixed_d1_d2_selection_close_to_host(seed):
 
     v_dev, v_host = host_d2(dev_pick[1]), host_d2(host_pick[1])
     assert v_dev <= v_host * 1.02 + 1e-9, (dev_pick, host_pick, v_dev, v_host)
+
+
+def test_squared_edt_carry_exact():
+    """Carried values equal the value at the first-minimum NN voxel."""
+    from pcc_geo_cnn_v2_tpu.ops.edt import squared_edt_argmin, squared_edt_carry
+
+    rng = np.random.default_rng(9)
+    occ = rng.random((8, 8, 8)) < 0.06
+    occ[1, 6, 2] = True
+    val = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    dist_a, nn = jax.tree_util.tree_map(
+        np.asarray, squared_edt_argmin(jnp.asarray(occ)))
+    dist_c, (carried,) = jax.tree_util.tree_map(
+        np.asarray, squared_edt_carry(jnp.asarray(occ), [jnp.asarray(val)]))
+    np.testing.assert_array_equal(dist_c, dist_a)
+    np.testing.assert_array_equal(
+        carried, val[nn[..., 0], nn[..., 1], nn[..., 2]])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_d2_sweep_pts_matches_grid(seed):
+    """Point-based d2 sweep (band=None) ≡ grid d2_sweep (same tie rules):
+    both transfer vote-mean normals at each original's first-min NN."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import d2_sweep, d2_sweep_pts
+
+    pts, n, occ, x_hat, grid_n = _case_with_normals(seed)
+    thresholds = jnp.asarray(np.linspace(0, 1.0, T), jnp.float32)
+    ref = jax.tree_util.tree_map(
+        np.asarray,
+        d2_sweep(jnp.asarray(occ), jnp.asarray(grid_n), jnp.asarray(x_hat),
+                 thresholds))
+    pad = np.full((512, 3), -1, np.int32)
+    pad[: len(pts)] = pts.astype(np.int32)
+    npad = np.zeros((512, 3), np.float32)
+    npad[: len(pts)] = n
+    got = jax.tree_util.tree_map(
+        np.asarray,
+        d2_sweep_pts(jnp.asarray(occ), jnp.asarray(pad), jnp.asarray(npad),
+                     jnp.asarray(x_hat), thresholds, band=None))
+    np.testing.assert_array_equal(got["count"], ref["count"])
+    nz = ref["count"] > 0
+    for k in ("d2_sum_AB", "d2_sum_BA", "d2_mse"):
+        np.testing.assert_allclose(got[k][nz], ref[k][nz], rtol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_select_pts_matches_select_grid(seed):
+    """select_thresholds_device_pts(band=None) picks ≡ the r4-validated
+    grid path (same EDT tie conventions end to end)."""
+    from pcc_geo_cnn_v2_tpu.ops.threshold_sweep import (
+        select_thresholds_device,
+        select_thresholds_device_pts,
+    )
+
+    pts, n, occ, x_hat, grid_n = _case_with_normals(seed + 40)
+    thresholds = jnp.asarray(np.linspace(0, 1.0, T), jnp.float32)
+    oms = ("d1_mse", "d2_mse", "d2_mse_BA")
+    mds = (np.inf, 1.5)
+    grid_pick = np.asarray(select_thresholds_device(
+        jnp.asarray(occ), jnp.asarray(x_hat), thresholds,
+        normals=jnp.asarray(grid_n), opt_metrics=oms, max_deltas=mds))
+    pad = np.full((512, 3), -1, np.int32)
+    pad[: len(pts)] = pts.astype(np.int32)
+    npad = np.zeros((512, 3), np.float32)
+    npad[: len(pts)] = n
+    pts_pick = np.asarray(select_thresholds_device_pts(
+        jnp.asarray(occ), jnp.asarray(x_hat), thresholds, jnp.asarray(pad),
+        jnp.asarray(npad), opt_metrics=oms, max_deltas=mds, band=None))
+    np.testing.assert_array_equal(pts_pick, grid_pick)
