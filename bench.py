@@ -264,6 +264,15 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
     # compress_octree.py:109-118); the headline metric stays the d1
     # group's bitstream, d2's phase costs land in the PCC_TIMING log
     opt_metrics, with_normals = opt_metrics_env, normals_env
+    # BENCH_NEED_METRICS=0 skips the enc-side full-cloud metric sidecar.
+    # The reference encoder computes NO full-cloud metrics for
+    # single-candidate groups (model_types.py:128-176 — argmax over one
+    # candidate short-circuits), so 0 is the reference-equivalent
+    # protocol; 1 (default, the r4 headline protocol) additionally pays
+    # the sidecar — nearly free for d1 (overlapped halo sums), ~20-50
+    # s/cloud for the d2 group (argmin-EDT NN passes, see
+    # ops/cloud_metrics.blockwise_d2_metrics).
+    need_metrics = os.environ.get("BENCH_NEED_METRICS", "1") != "0"
 
     def encode_one(cloud):
         pts, blocks, binstr = cloud
@@ -271,6 +280,7 @@ def run_pipeline(codec, clouds, resolution, level, block_size, log):
             blocks, binstr, pts, resolution, level,
             opt_metrics=opt_metrics, point_budget=budget,
             flat_budget=flat_budget, with_normals=with_normals,
+            need_metrics=need_metrics,
         )
         # one bitstream per metric group (d1 is group 0, the headline);
         # every group gets decode-verified below

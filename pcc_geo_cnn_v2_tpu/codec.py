@@ -764,11 +764,31 @@ class BlockCodec:
                                             with_normals, backend="xla")
                 exact_fut = pool.submit(lambda: np.asarray(
                     jax.device_get(exact(*sm_args)["picks"])))
+            def warm_d2_nn():
+                # full-cloud d2 metrics ride the argmin-EDT NN chunk
+                # (~20-40 s remote compile) — an unwarmed first cloud
+                # pays it mid-encode, twice (A→B and B→A share the
+                # executable only when the packing widths match, see
+                # cloud_metrics._QRY_B_HWM)
+                if not with_normals:
+                    return
+                from pcc_geo_cnn_v2_tpu.ops.cloud_metrics import (
+                    _nn_chunk_fn,
+                )
+                P = dev_keep["pts16"].shape[1]
+                fn = _nn_chunk_fn(self.block_size, self.halo_width,
+                                  aot=self._aot_ok)
+                q = jnp.full((self.halo_batch, P, 3), -1, jnp.int32)
+                t = jnp.zeros((self.halo_batch, 27,
+                               self.block_size ** 3 // 8), jnp.uint8)
+                jax.block_until_ready(fn(q, t)["off"])
+
             futs = [
                 pool.submit(warm_sweep),
                 pool.submit(self.decompress_blocks, payload),
                 pool.submit(warm_wide_dec),
                 pool.submit(warm_rerun),
+                pool.submit(warm_d2_nn),
                 pool.submit(blockwise_d1_sums, packed, packed, origins,
                             self.block_size, halo=self.halo_width,
                             batch=self.halo_batch, aot=self._aot_ok),
@@ -1477,6 +1497,7 @@ class BlockCodec:
         return blockwise_d2_metrics(
             pts_dev, nrm_host, mask_packed, x_hat_blocks, origins,
             self.block_size, resolution, points, with_d1=True,
+            batch=self.halo_batch, aot=self._aot_ok,
         )
 
     def _select_best_device(self, binstr, x_hat_points, occ_packed,

@@ -322,7 +322,23 @@ def blockwise_d1_sums(a_packed, b_packed, origins, size, halo=12, batch=16,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("size", "halo"))
+def _nn_chunk_fn(size, halo, aot=True):
+    """AOT-cached executable for :func:`_halo_nn_offsets_chunk` (argmin
+    halo EDT, ~20-40 s to compile on the remote TPU — a cache miss
+    mid-encode costs more than the whole steady-state d2 metric pass)."""
+    key = ("nn", size, halo, aot)
+    fn = _dir_fn_cache.get(key)
+    if fn is None:
+        from pcc_geo_cnn_v2_tpu.aot import aot_jit
+
+        def base(q, t):
+            return _halo_nn_offsets_chunk(q, t, size=size, halo=halo)
+
+        fn = aot_jit(base, name=f"halo_nn_{size}_{halo}", enabled=aot)
+        _dir_fn_cache[key] = fn
+    return fn
+
+
 def _halo_nn_offsets_chunk(qry_pts, tgt_nb, *, size, halo):
     """NN offsets of per-block query points into the target halo volume.
 
@@ -352,7 +368,7 @@ def _halo_nn_offsets_chunk(qry_pts, tgt_nb, *, size, halo):
 
 
 def blockwise_nn_offsets(qry_pts, tgt_packed, origins, size, halo=12,
-                         batch=16):
+                         batch=16, aot=True):
     """Exact NN offsets of every query point against a blockwise target
     cloud (device halo EDTs; NN beyond ``halo`` flagged for host resolve).
 
@@ -371,6 +387,7 @@ def blockwise_nn_offsets(qry_pts, tgt_packed, origins, size, halo=12,
     zr = len(tgt_dev)
     nb_j = jnp.asarray(np.where(nb < 0, zr, nb))
     qry = qry_pts if isinstance(qry_pts, jax.Array) else jnp.asarray(qry_pts)
+    fn = _nn_chunk_fn(size, halo, aot=aot)
     outs = []
     for lo in range(0, n, batch):
         hi = min(lo + batch, n)
@@ -382,8 +399,7 @@ def blockwise_nn_offsets(qry_pts, tgt_packed, origins, size, halo=12,
             q = jnp.concatenate(
                 [q, jnp.full((batch - (hi - lo),) + q.shape[1:], -1,
                              q.dtype)])
-        outs.append(_halo_nn_offsets_chunk(
-            q, jnp.take(tgt_ext, idx, axis=0), size=size, halo=halo))
+        outs.append(fn(q, jnp.take(tgt_ext, idx, axis=0)))
     res = jax.device_get({
         k: jnp.concatenate([o[k] for o in outs])[:n] for k in outs[0]
     })
@@ -395,9 +411,17 @@ def _flat_key(coords, resolution):
     return (c[:, 0] * resolution + c[:, 1]) * resolution + c[:, 2]
 
 
+# process-wide high-water mark for the candidate-side packing width:
+# a per-cloud next-pow2 width would key a FRESH 20-40 s remote compile of
+# the argmin-EDT chunk for almost every cloud (measured: 40-90 s/cloud
+# "device" time in the first d2 hardware bench was recompiles, not math —
+# the warmed chunk runs in ~70 ms/16 blocks)
+_QRY_B_HWM = [64]
+
+
 def blockwise_d2_metrics(a_pts, a_nrm, b_packed, b_blocks, origins, size,
                          resolution, points, halo=12, batch=16,
-                         qry_b=None, with_d1=False):
+                         qry_b=None, with_d1=False, aot=True):
     """Exact full-cloud D2 (point-to-plane) metrics, device-first.
 
     Semantics mirror ``utils/metrics.py:compute_metrics`` (itself pinned
@@ -435,10 +459,12 @@ def blockwise_d2_metrics(a_pts, a_nrm, b_packed, b_blocks, origins, size,
         return {"d2_psnr": -np.inf, "d1_psnr": -np.inf}
     # device passes: A→B and B→A NN offsets
     ab = blockwise_nn_offsets(a_pts, b_packed, origins, size, halo=halo,
-                              batch=batch)
+                              batch=batch, aot=aot)
+    t_ab = time.time() - t0
     if qry_b is None:
         budget = max(int(2 ** np.ceil(np.log2(
             max(len(b) for b in b_blocks)))), 64)
+        _QRY_B_HWM[0] = budget = max(budget, _QRY_B_HWM[0])
         qry_b, _ = pack_points(b_blocks, max_points=budget)
     # original occupancy re-packed from the A point lists (trim any
     # chunk-padding rows past the origin count)
@@ -451,7 +477,7 @@ def blockwise_d2_metrics(a_pts, a_nrm, b_packed, b_blocks, origins, size,
     occ_a[bi, flat] = 1
     occ_a = np.packbits(occ_a, axis=-1, bitorder="big")
     ba = blockwise_nn_offsets(qry_b, occ_a, origins, size, halo=halo,
-                              batch=batch)
+                              batch=batch, aot=aot)
     t_dev = time.time() - t0
 
     t0 = time.time()
@@ -482,10 +508,11 @@ def blockwise_d2_metrics(a_pts, a_nrm, b_packed, b_blocks, origins, size,
         b_tgt[~b_ok] = np.asarray(points[idx, :3], np.int64)
     out = d2_from_identities(a_glob, a_n, a_tgt, b_glob, b_tgt, points,
                              resolution, with_d1=with_d1)
-    logger.info("blockwise_d2_metrics: device %.2fs, host %.2fs "
-                "(%d orig / %d cand pts, %d+%d outliers)", t_dev,
-                time.time() - t0, len(a_glob), len(b_glob),
-                int((~a_ok).sum()), int((~b_ok).sum()))
+    logger.info("blockwise_d2_metrics: device %.2fs (ab %.2fs, ba %.2fs; "
+                "qry_b width %d), host %.2fs (%d orig / %d cand pts, "
+                "%d+%d outliers)", t_dev, t_ab, t_dev - t_ab,
+                qry_b.shape[1], time.time() - t0, len(a_glob),
+                len(b_glob), int((~a_ok).sum()), int((~b_ok).sum()))
     return out
 
 

@@ -52,26 +52,48 @@ RUNGS = [
      1.79, 1.19),
     ("c3p-a0.75 (fixed thr)", "results/rd_c3p_a075_fixedthr.json",
      3.71, 3.68),
-    ("c3p-a0.75 (adaptive, same ckpts)",
-     "results/rd_c3p_a075_trim_adaptive.json", 5.39, 6.41),
+    # α ablation twins of the c3p-a0.75 rung (same uniform budget;
+    # reference rows labeled '$\alpha = …$' in data.csv, fixed thr;
+    # published BDs computed the same way as the c-rung columns)
+    ("c3p-a0.5 (fixed thr)", "results/rd_c3p_a05_fixedthr.json",
+     3.70, 6.07),
+    ("c3p-a0.25 (fixed thr)", "results/rd_c3p_a025_fixedthr.json",
+     -0.22, 3.54),
+    # paper c5 = INDEPENDENTLY-trained c3p-a0.75 checkpoints + adaptive
+    # sweep (ev_experiment.yml: id 'c4' reuses checkpoint_id
+    # 'c3p-a0.75'); paper c6 = the same protocol on WARM-SEQ-trained
+    # checkpoints (id 'c4-ws'). Every repo rung trains warm-seq, so the
+    # pre-r5 'adaptive, same ckpts' rung is the c6 analogue; the
+    # independent arm (models/rd10k_ind) supplies the c5 analogue.
+    ("c3p-a0.75 (adaptive, independent ckpts)",
+     "results/rd_c3p_a075_ind_adaptive.json", 5.39, 6.42),
+    ("c3p-a0.75 (adaptive, warm-seq ckpts)",
+     "results/rd_c3p_a075_trim_adaptive.json", 5.50, 6.48),
     ("c3p-a0.75 (adaptive, flagship protocol)",
-     "results/rd_c3p_a075.json", 5.39, 6.41),
+     "results/rd_c3p_a075.json", 5.50, 6.48),
 ]
 
 
 # rung -> (data.csv label, mode_id) following the reference's label map
-# (ev_experiment.yml:10-46: c3=c3p-a0.9, c4=c3p-a0.75 fixed-thr, c5 =
-# same checkpoints + adaptive sweep). The flagship keeps its own label
-# so the uniform-budget c5 rung and the full-protocol artifact are
-# distinguishable in the CSV.
+# (ev_experiment.yml:10-46: c3=c3p-a0.9, c4=c3p-a0.75 fixed-thr,
+# c5 = independently-trained c4 checkpoints + adaptive sweep, c6 =
+# warm-seq-trained + adaptive). The flagship keeps its own label so the
+# uniform-budget c6 rung and the full-protocol artifact are
+# distinguishable in the CSV. α ablations use the reference's exact
+# label strings.
 CSV_LABELS = {
     "c1 (fixed thr)": ("c1", "c1"),
     "c2 (fixed thr)": ("c2", "c2"),
     "c3p-a0.9 (fixed thr)": ("c3", "c3p"),
     "c3p-a0.75 (fixed thr)": ("c4", "c3p-a0.75-10k"),
-    "c3p-a0.75 (adaptive, same ckpts)": ("c5", "c3p-a0.75-10k+adaptive"),
+    "c3p-a0.5 (fixed thr)": ("$\\alpha = 0.50$", "c3p-a0.5"),
+    "c3p-a0.25 (fixed thr)": ("$\\alpha = 0.25$", "c3p-a0.25"),
+    "c3p-a0.75 (adaptive, independent ckpts)":
+        ("c5", "c3p-a0.75-ind+adaptive"),
+    "c3p-a0.75 (adaptive, warm-seq ckpts)":
+        ("c6", "c3p-a0.75-10k+adaptive"),
     "c3p-a0.75 (adaptive, flagship protocol)":
-        ("c5-flagship", "c3p-a0.75"),
+        ("c6-flagship", "c3p-a0.75"),
 }
 
 YLABEL = {"d1_psnr": "D1 PSNR (dB)", "d2_psnr": "D2 PSNR (dB)"}
