@@ -195,6 +195,13 @@ def main():
                 rep["anchor_avg_curve_d2"],
                 [tuple(q) for q in rep["avg_curve_d2"]])
             row["published_bd_psnr_d2_vs_trisoup"] = published_d2
+            # True when the d2 curve is from a separately d2-OPTIMIZED
+            # bitstream group (rd_eval --d2_group, the reference's
+            # published d2 convention) rather than the d1 bitstream
+            # scored with d2 (the correct reading for fixed-thr rungs,
+            # whose protocol emits a single bitstream)
+            row["d2_curve_is_d2_group"] = bool(
+                rep.get("d2_group_encoded"))
         # advisor r3: publish each rung's per-λ training budget so
         # deltas between rungs trained at different budgets (e.g. the
         # documented c1 10k-base exception) are visibly flagged
@@ -235,12 +242,14 @@ def main():
                 "flagship row alone uses the full protocol (40k base, "
                 "8k ft, early-stop patience 4000); its delta is "
                 "training-contaminated and reported for context. d2 "
-                "columns score the D1-OPTIMIZED bitstream with the d2 "
-                "metric (analytic scansim normals); the reference's "
-                "published d2 rows are separately d2-optimized encodes "
-                "(data.csv opt_group d2), so d2 ordering here is "
-                "informational — the true d2-group rows live in the "
-                "flagship artifact via rd_eval --d2_group.",
+                "columns: rows with d2_curve_is_d2_group=true are from "
+                "separately d2-OPTIMIZED bitstreams (rd_eval "
+                "--d2_group — the reference's published d2 convention "
+                "for its adaptive c5/c6 rows); false means the d1 "
+                "bitstream scored with the d2 metric, which is the "
+                "correct protocol reading for fixed-thr rungs "
+                "(reference c1-c4 + alpha rows emit one bitstream, "
+                "fixed mid-threshold).",
         "rows": rows,
     }
     out = Path("results/config_ladder.json")
