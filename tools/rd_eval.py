@@ -245,11 +245,17 @@ def main():
                 m2 = _cm(pts[:, :3], dec2, resolution - 1, p1_n=nrm)
                 raw2 = gzip.compress(save_compressed_file(
                     binstr, data_list[1], resolution, level))
+                # host KD scoring is authoritative for the published
+                # row (the reference's d2_psnr comes from pc_error, KD
+                # semantics); the enc-side device value is recorded for
+                # the agreement bound — its min-plane-among-ties rule
+                # is systematically optimistic on dense integer grids
+                # (+0.1-0.4 dB observed, r5 flagship eval)
                 row2 = {"lmbda": lmbda, "pc_name": name,
                         "opt_group": "d2",
                         "bpp": len(raw2) * 8 / len(pts),
-                        "d2_psnr": meta[1]["metrics"]["d2_psnr"],
-                        "d2_psnr_host": m2["d2_psnr"],
+                        "d2_psnr": m2["d2_psnr"],
+                        "d2_psnr_enc": meta[1]["metrics"]["d2_psnr"],
                         "d1_psnr_on_d2_group": m2["d1_psnr"]}
                 results.append(row2)
                 print(f"λ={lmbda:g} {name} [d2 group]: "
