@@ -159,9 +159,17 @@ def _bucket_kernel_d2(kt_ref, pt_ref, pts_ref, cand_ref, nrm_ref,
         plane = dot * dot
 
         cm = jnp.min(jnp.where(valid, d2, BIG), axis=0, keepdims=True)
-        # plane value of the row achieving cm (first tie in min order)
+        # plane value at the FIRST (lowest point-row) distance-tied row.
+        # Taking min-plane-among-tied instead is systematically
+        # OPTIMISTIC (ties are frequent on integer grids), and a sweep
+        # optimizing an optimistic metric picks exactly where the
+        # optimism peaks (r5 flagship eval: d2-group rows came out
+        # worse-by-host-d2 than d1-group rows at high rate).
+        rows = jax.lax.broadcasted_iota(jnp.float32, (pc, kc), 0)
+        tied = valid & (d2 == cm)
+        rstar = jnp.min(jnp.where(tied, rows, BIG), axis=0, keepdims=True)
         cp = jnp.min(
-            jnp.where(valid & (d2 == cm), plane, BIG), axis=0,
+            jnp.where(tied & (rows == rstar), plane, BIG), axis=0,
             keepdims=True)
 
         @pl.when(i == 0)

@@ -199,8 +199,10 @@ def _d2_bucket_oracle(x_hat, pts, nrm, thresholds, K):
         j = np.argmin(d2[:, : k + 1], axis=1)  # first min
         ab2[k] = dot[np.arange(len(pts)), j].sum()
     cm = d2.min(axis=0)
+    # first distance-tied row (the kernel's tie rule — min-plane-among-
+    # tied was systematically optimistic, see _bucket_kernel_d2)
     ba2_col = np.array([
-        dot[d2[:, k] == cm[k], k].min() for k in range(K)
+        dot[int(np.argmax(d2[:, k] == cm[k])), k] for k in range(K)
     ])
     ba2 = np.cumsum(ba2_col)
     cnt = np.array([(flat > t).sum() for t in thresholds])
