@@ -165,9 +165,12 @@ def _bucket_kernel_d2(kt_ref, pt_ref, pts_ref, cand_ref, nrm_ref,
         # optimizing an optimistic metric picks exactly where the
         # optimism peaks (r5 flagship eval: d2-group rows came out
         # worse-by-host-d2 than d1-group rows at high rate).
-        rows = jax.lax.broadcasted_iota(jnp.float32, (pc, kc), 0)
+        # NOTE: Mosaic requires integer iota (f32 iota fails MLIR
+        # verification on hardware: 'tpu.iota' op result must be vector
+        # of integer values); pc is a safe > any-row sentinel.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (pc, kc), 0)
         tied = valid & (d2 == cm)
-        rstar = jnp.min(jnp.where(tied, rows, BIG), axis=0, keepdims=True)
+        rstar = jnp.min(jnp.where(tied, rows, pc), axis=0, keepdims=True)
         cp = jnp.min(
             jnp.where(tied & (rows == rstar), plane, BIG), axis=0,
             keepdims=True)
@@ -179,13 +182,12 @@ def _bucket_kernel_d2(kt_ref, pt_ref, pts_ref, cand_ref, nrm_ref,
 
         @pl.when(i > 0)
         def _():
-            # distance ties across point tiles keep the min plane value
-            # (same rule as the within-tile `cp` reduction)
+            # distance ties across point tiles keep the EARLIER tile's
+            # plane value — point tiles run in row order, so this is the
+            # same first-tied-row rule as the within-tile `cp` reduction
+            # (and the numpy oracle's global argmin)
             candplane_ref[0] = jnp.where(
-                cm < candmin_ref[0], cp,
-                jnp.where(cm == candmin_ref[0],
-                          jnp.minimum(cp, candplane_ref[0]),
-                          candplane_ref[0]))
+                cm < candmin_ref[0], cp, candplane_ref[0])
             candmin_ref[0] = jnp.minimum(candmin_ref[0], cm)
 
         # inclusive prefix-min along the sorted-candidate (lane) axis,

@@ -180,8 +180,8 @@ def _case_with_normals(seed):
 def _d2_bucket_oracle(x_hat, pts, nrm, thresholds, K):
     """Numpy twin of the d2 bucket kernel's documented semantics:
     AB carries each original's OWN normal through the prefix argmin
-    (earlier candidate wins ties); BA uses the min plane value among
-    distance-tied NN originals."""
+    (earlier candidate wins ties); BA takes the plane value of the
+    FIRST distance-tied original row."""
     B = x_hat.shape[-1]
     flat = x_hat.reshape(-1)
     order = np.argsort(-flat, kind="stable")[:K]
@@ -230,6 +230,39 @@ def test_bucket_d2_sums_match_oracle(seed):
             jnp.asarray(x_hat[None]), jnp.asarray(pad[None]),
             jnp.asarray(thresholds, jnp.float32),
             K=K, kc=256, pc=512, interpret=True,
+            nrm=jnp.asarray(npad[None]),
+        ),
+    )
+    ab, ba, cnt, overflow, ab2, ba2 = res
+    assert not overflow.any()
+    oab, oba, ocnt = _d2_bucket_oracle(
+        x_hat.astype(np.float64), pts, n, thresholds, K)
+    np.testing.assert_array_equal(cnt[0], ocnt)
+    nz = ocnt > 0
+    np.testing.assert_allclose(ab2[0][nz], oab[nz], rtol=1e-4)
+    np.testing.assert_allclose(ba2[0][nz], oba[nz], rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bucket_d2_sums_match_oracle_multitile(seed):
+    """Same oracle comparison but with pc=64/kc=128 so the 512-row point
+    pad spans 8 point tiles and candidates span many lane tiles: pins the
+    CROSS-TILE tie rule (BA distance ties must keep the EARLIER tile's
+    plane value — global first-tied-row, like the oracle's argmax)."""
+    pts, n, occ, x_hat = _case_with_normals(seed)
+    T_loc = 16
+    thresholds = np.linspace(0.05, 0.95, T_loc)
+    K = 4096
+    pad = np.full((512, 3), -1, np.int32)
+    pad[: len(pts)] = pts.astype(np.int32)
+    npad = np.zeros((512, 3), np.float32)
+    npad[: len(pts)] = n
+    res = jax.tree_util.tree_map(
+        np.asarray,
+        bucket_sweep_sums(
+            jnp.asarray(x_hat[None]), jnp.asarray(pad[None]),
+            jnp.asarray(thresholds, jnp.float32),
+            K=K, kc=128, pc=64, interpret=True,
             nrm=jnp.asarray(npad[None]),
         ),
     )
