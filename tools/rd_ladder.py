@@ -202,6 +202,19 @@ def main():
             # whose protocol emits a single bitstream)
             row["d2_curve_is_d2_group"] = bool(
                 rep.get("d2_group_encoded"))
+        # encoder-device vs host-KD d2 agreement bound over the rung's
+        # d2-group points — the d2 analogue of the reference's enc-vs-
+        # pc_error D1 <0.01 dB cross-check (ev_experiment.py:158-162).
+        # Ours is looser by design: the device sweep scores d2 with the
+        # own-normal AB approximation (ops/bucket_sweep.py), the
+        # published row value is always the host KD-scored one.
+        d2pts = [p for p in rep.get("points", [])
+                 if p.get("opt_group") == "d2" and "d2_psnr_enc" in p
+                 and np.isfinite(p.get("d2_psnr", np.nan))]
+        if d2pts:
+            row["d2_enc_vs_host_max_abs_db"] = round(
+                max(abs(p["d2_psnr_enc"] - p["d2_psnr"])
+                    for p in d2pts), 3)
         # advisor r3: publish each rung's per-λ training budget so
         # deltas between rungs trained at different budgets (e.g. the
         # documented c1 10k-base exception) are visibly flagged
