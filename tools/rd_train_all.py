@@ -142,6 +142,11 @@ def main():
                          "final params).")
     ap.add_argument("--lambdas", nargs="*", type=float, default=None,
                     help="Subset of the λ grid to process.")
+    ap.add_argument("--run_id", default=None,
+                    help="Override the derived run directory name "
+                         "(default <config>[-a<alpha>]); needed for "
+                         "rungs whose directory was renamed to avoid "
+                         "asset collisions, e.g. c3p-a0.75-10k.")
     args = ap.parse_args()
 
     print("devices:", jax.devices(), flush=True)
@@ -156,8 +161,8 @@ def main():
     if args.alpha is None:
         args.alpha = 0.75 if args.config == "c3p" else 0.9
     model = build_model(args.config)
-    run_id = (args.config if args.alpha == 0.9
-              else f"{args.config}-a{args.alpha:g}")
+    run_id = args.run_id or (args.config if args.alpha == 0.9
+                             else f"{args.config}-a{args.alpha:g}")
     prev_state = None
     lambdas = args.lambdas or LAMBDAS[args.config]
     for li, lmbda in enumerate(lambdas):
