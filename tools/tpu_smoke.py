@@ -119,6 +119,50 @@ def check_halo(rng):
     log("halo-EDT kernel parity OK")
 
 
+def check_bucket_d2(rng, interpret_only=False):
+    """d1+d2 bucket kernel: Mosaic-compiled vs interpret-mode parity.
+
+    The d2 kernel's CPU tests (interpret mode + numpy/host oracles,
+    tests/test_bucket_sweep.py) pin its semantics; the hardware question
+    is whether the Mosaic compilation computes the same thing (the r4
+    grid-d2 path compiled fine and then miscomputed/crashed at runtime).
+    Runs the production-shaped kernel both ways on identical inputs.
+    """
+    from pcc_geo_cnn_v2_tpu.ops.bucket_sweep import bucket_sweep_sums
+
+    size, n = 64, 4
+    x_hat, occ = make_surface_batch(rng, n, size)
+    # thin the candidate field so the K=32768 budget holds (the smoke
+    # surface batch is diffuse everywhere at the noise floor)
+    x_hat = np.where(x_hat > 0.2, x_hat, 0.0).astype(np.float32)
+    P = 1 << int(np.ceil(np.log2(max(int(o.sum()) for o in occ))))
+    pts = np.full((n, P, 3), -1, np.int32)
+    nrm = np.zeros((n, P, 3), np.float32)
+    for i in range(n):
+        c = np.argwhere(occ[i] > 0)
+        pts[i, : len(c)] = c
+        v = rng.normal(size=(len(c), 3))
+        nrm[i, : len(c)] = v / np.linalg.norm(v, axis=1, keepdims=True)
+    thr = jnp.asarray(np.linspace(0, 1, 256, dtype=np.float32))
+    args = (jnp.asarray(x_hat), jnp.asarray(pts), thr)
+    kw = dict(K=32768, nrm=jnp.asarray(nrm))
+    ref = jax.device_get(bucket_sweep_sums(*args, interpret=True, **kw))
+    if interpret_only:
+        log("bucket-d2 interpret plumbing OK")
+        return
+    got = jax.device_get(bucket_sweep_sums(*args, **kw))
+    names = ("ab", "ba", "cnt", "overflow", "ab2", "ba2")
+    assert not np.asarray(ref[3]).any(), "unexpected overflow in smoke data"
+    for name, r, g in zip(names, ref, got):
+        if name in ("cnt", "overflow"):
+            np.testing.assert_array_equal(g, r, err_msg=name)
+        else:
+            nz = np.isfinite(r) & (np.abs(r) < 1e8)
+            np.testing.assert_allclose(g[nz], r[nz], rtol=1e-5,
+                                       atol=0.5, err_msg=name)
+    log("bucket-d2 kernel Mosaic-vs-interpret parity OK")
+
+
 def check_codec_roundtrip(rng):
     from pcc_geo_cnn_v2_tpu.codec import BlockCodec
     from pcc_geo_cnn_v2_tpu.models.configs import build_model
@@ -151,6 +195,7 @@ def main():
     rng = np.random.default_rng(0)
     check_sweep(rng)
     check_halo(rng)
+    check_bucket_d2(rng)
     check_codec_roundtrip(rng)
     log("ALL TPU SMOKE CHECKS PASSED")
 
